@@ -1,0 +1,405 @@
+"""LakeTable — a minimal Iceberg-style table format on parquet + JSON manifests.
+
+The sandbox has no Iceberg runtime jar, so the engine ships its own tiny
+copy-on-write table format with the same semantics the CDC sink needs
+(SURVEY.md §7 "Iceberg-in-sandbox" fallback):
+
+- **snapshot isolation**: a table version is one immutable JSON manifest
+  listing immutable parquet data files; readers read one manifest.
+- **atomic commit**: manifests are published with a compare-and-swap
+  (hard-link of a fully-written temp file onto the next version name —
+  `os.link` fails if the version already exists). This fixes the
+  non-atomic sink the reference documents (tfdata/core/tfrecord.go:62
+  "file is corrupted" on partial write): here a partial write is simply
+  an unpublished temp file; readers can never observe it.
+- **bucket layout + pruning**: data files are hash-bucketed by the record
+  key (`bucket(conv_id)` per FIXTURES.md §1); MERGE rewrites only the
+  buckets that contain changed keys, so a 100 TB table with a 0.1%% change
+  batch rewrites ~0.1%% of files, and the bucket filter prunes the scan.
+- **additive schema evolution**: the manifest carries the current schema;
+  old data files missing newer columns read as NULL (Spark fills them when
+  an explicit read schema is supplied). This is the reference's
+  unknown-field-carry stance (tfdata/transform/transformer.go:135-142)
+  made transactional.
+- **exactly-once summaries**: each commit records an application summary
+  (e.g. ``{"job_id": ..., "epoch": ...}``); `committed_epochs` scans the
+  manifest chain so a re-executed foreachBatch epoch is skipped
+  idempotently.
+
+At 10^10-event scale the driver-side state here is O(files-in-changed-
+buckets) per commit, never O(rows): file lists live in the manifest, row
+data only ever moves executor-side through DataFrame reads/writes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_MANIFEST_DIR = "_manifests"
+_DATA_DIR = "data"
+_BUCKET_COL = "_bucket"
+
+
+def bucket_expr(bucket_by: str, num_buckets: int):
+    """Deterministic key->bucket hash, identical across commits and readers.
+
+    xxhash64 is a JVM-side built-in (whole-stage codegen'd) and stable
+    across Spark sessions, which makes the bucket id a pure function of the
+    key — the property Iceberg's bucket transform relies on for pruning.
+    """
+    return F.pmod(F.xxhash64(F.col(bucket_by)), F.lit(num_buckets)).cast("int")
+
+
+@dataclass
+class Manifest:
+    version: int
+    parent: int | None
+    schema: T.StructType
+    bucket_by: str
+    num_buckets: int
+    files: list[dict]  # {"path": rel_path, "bucket": int | None, "rows": int | None}
+    summary: dict
+    timestamp: float
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "version": self.version,
+                "parent": self.parent,
+                "schema": self.schema.jsonValue(),
+                "bucket_by": self.bucket_by,
+                "num_buckets": self.num_buckets,
+                "files": self.files,
+                "summary": self.summary,
+                "timestamp": self.timestamp,
+            }
+        )
+
+    @staticmethod
+    def from_json(s: str) -> "Manifest":
+        d = json.loads(s)
+        return Manifest(
+            version=d["version"],
+            parent=d["parent"],
+            schema=T.StructType.fromJson(d["schema"]),
+            bucket_by=d["bucket_by"],
+            num_buckets=d["num_buckets"],
+            files=d["files"],
+            summary=d.get("summary", {}),
+            timestamp=d.get("timestamp", 0.0),
+        )
+
+
+class CommitConflict(Exception):
+    """Another writer published this version first (optimistic concurrency)."""
+
+
+class LakeTable:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+
+    # ------------------------------------------------------------------ DDL
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        schema: T.StructType,
+        bucket_by: str = "conv_id",
+        num_buckets: int = 16,
+        exist_ok: bool = False,
+    ) -> "LakeTable":
+        t = cls(spark, path)
+        os.makedirs(os.path.join(t.path, _MANIFEST_DIR), exist_ok=True)
+        os.makedirs(os.path.join(t.path, _DATA_DIR), exist_ok=True)
+        if t.current_version() is not None:
+            if exist_ok:
+                return t
+            raise FileExistsError(f"table already exists at {path}")
+        m = Manifest(
+            version=1,
+            parent=None,
+            schema=schema,
+            bucket_by=bucket_by,
+            num_buckets=num_buckets,
+            files=[],
+            summary={"operation": "create"},
+            timestamp=time.time(),
+        )
+        t._publish(m)
+        return t
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "LakeTable":
+        t = cls(spark, path)
+        if t.current_version() is None:
+            raise FileNotFoundError(f"no lake table at {path}")
+        return t
+
+    # ------------------------------------------------------------- manifests
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.path, _MANIFEST_DIR, f"v{version:012d}.json")
+
+    def current_version(self) -> int | None:
+        d = os.path.join(self.path, _MANIFEST_DIR)
+        if not os.path.isdir(d):
+            return None
+        versions = [
+            int(f[1:-5]) for f in os.listdir(d) if f.startswith("v") and f.endswith(".json")
+        ]
+        return max(versions) if versions else None
+
+    def snapshot(self, version: int | None = None) -> Manifest:
+        v = version if version is not None else self.current_version()
+        if v is None:
+            raise FileNotFoundError(f"no manifests under {self.path}")
+        with open(self._manifest_path(v)) as f:
+            return Manifest.from_json(f.read())
+
+    def history(self) -> list[Manifest]:
+        cur = self.current_version()
+        return [self.snapshot(v) for v in range(1, (cur or 0) + 1) if os.path.exists(self._manifest_path(v))]
+
+    def _publish(self, m: Manifest) -> None:
+        """Atomically publish manifest version m.version (CAS via os.link)."""
+        final = self._manifest_path(m.version)
+        tmp = final + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(m.to_json())
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, final)  # fails atomically if `final` exists
+        except FileExistsError as e:
+            raise CommitConflict(f"version {m.version} already committed") from e
+        finally:
+            os.unlink(tmp)
+
+    def _next_manifest(self, summary: dict) -> Manifest:
+        cur = self.snapshot()
+        return Manifest(
+            version=cur.version + 1,
+            parent=cur.version,
+            schema=cur.schema,
+            bucket_by=cur.bucket_by,
+            num_buckets=cur.num_buckets,
+            files=list(cur.files),
+            summary=summary,
+            timestamp=time.time(),
+        )
+
+    # ---------------------------------------------------------------- reads
+    def schema(self) -> T.StructType:
+        return self.snapshot().schema
+
+    def read(self, version: int | None = None) -> DataFrame:
+        m = self.snapshot(version)
+        return self._read_files(m, m.files)
+
+    def read_buckets(self, buckets: list[int], version: int | None = None) -> DataFrame:
+        """Bucket-pruned scan: only files whose bucket is in `buckets`."""
+        m = self.snapshot(version)
+        wanted = set(buckets)
+        files = [f for f in m.files if f.get("bucket") in wanted]
+        return self._read_files(m, files)
+
+    def _read_files(self, m: Manifest, files: list[dict]) -> DataFrame:
+        if not files:
+            return self.spark.createDataFrame([], m.schema)
+        paths = [os.path.join(self.path, f["path"]) for f in files]
+        # Explicit schema => old files missing newly-added columns read NULL
+        # (additive evolution) and the scan prunes to exactly these columns.
+        return self.spark.read.schema(m.schema).parquet(*paths)
+
+    # --------------------------------------------------------------- writes
+    def _write_data(self, df: DataFrame, m: Manifest) -> list[dict]:
+        """Write df (bucketed) under a fresh uuid dir; return file entries."""
+        commit_dir = os.path.join(_DATA_DIR, uuid.uuid4().hex)
+        abs_dir = os.path.join(self.path, commit_dir)
+        out = df.withColumn(_BUCKET_COL, bucket_expr(m.bucket_by, m.num_buckets))
+        # One parquet dir per bucket partition: rewrites and reads prune by
+        # bucket without opening files.
+        out.write.partitionBy(_BUCKET_COL).parquet(abs_dir, mode="errorifexists")
+        entries: list[dict] = []
+        for bdir in sorted(os.listdir(abs_dir)):
+            if not bdir.startswith(f"{_BUCKET_COL}="):
+                continue
+            b = int(bdir.split("=", 1)[1])
+            for fn in sorted(os.listdir(os.path.join(abs_dir, bdir))):
+                if fn.endswith(".parquet"):
+                    entries.append({"path": f"{commit_dir}/{bdir}/{fn}", "bucket": b})
+        return entries
+
+    def append(self, df: DataFrame, summary: dict | None = None) -> Manifest:
+        m = self._next_manifest({"operation": "append", **(summary or {})})
+        m.files = m.files + self._write_data(self._conform(df, m.schema), m)
+        self._publish(m)
+        return m
+
+    def overwrite(self, df: DataFrame, summary: dict | None = None) -> Manifest:
+        m = self._next_manifest({"operation": "overwrite", **(summary or {})})
+        m.files = self._write_data(self._conform(df, m.schema), m)
+        self._publish(m)
+        return m
+
+    def _conform(self, df: DataFrame, schema: T.StructType) -> DataFrame:
+        """Project df to the table schema: missing columns -> NULL (additive
+        evolution tolerance), extra columns rejected (must evolve first)."""
+        extra = [c for c in df.columns if c not in schema.fieldNames()]
+        if extra:
+            raise ValueError(
+                f"columns {extra} not in table schema; call update_schema() first"
+            )
+        cols = []
+        for f in schema.fields:
+            if f.name in df.columns:
+                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            else:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        return df.select(*cols)
+
+    # ------------------------------------------------------ schema evolution
+    def update_schema(self, new_fields: list[T.StructField], summary: dict | None = None) -> Manifest:
+        """Additive-only schema update transaction (Iceberg ADD COLUMN analog).
+
+        Reference stance: unknown fields never fail the pipeline
+        (transformer.go:135-142 bytes fallback); here they become real typed
+        columns in one atomic manifest commit, old files read NULL for them.
+        """
+        m = self._next_manifest({"operation": "add-columns", **(summary or {})})
+        existing = set(m.schema.fieldNames())
+        added = []
+        for f in new_fields:
+            if f.name in existing:
+                continue  # idempotent
+            m.schema = T.StructType(m.schema.fields + [f])
+            added.append(f.name)
+        if not added:
+            return self.snapshot()
+        m.summary["added_columns"] = added
+        self._publish(m)
+        return m
+
+    # ----------------------------------------------------------------- merge
+    def merge(
+        self,
+        upserts: DataFrame,
+        deletes: DataFrame | None,
+        key_cols: list[str],
+        summary: dict | None = None,
+    ) -> Manifest:
+        """MERGE INTO this table USING (upserts ∪ deletes) ON key_cols.
+
+        Semantics (one source row per key — callers LWW-fold first):
+          WHEN MATCHED AND source is delete THEN DELETE
+          WHEN MATCHED THEN UPDATE SET * (full-row replace)
+          WHEN NOT MATCHED AND source is not delete THEN INSERT *
+
+        Physical plan (copy-on-write, bucket-pruned):
+          1. affected buckets = distinct bucket(key) over the source —
+             a tiny aggregate (≤ num_buckets values) collected to the driver;
+          2. scan ONLY those buckets of the target (file-level pruning);
+          3. anti-join out rows whose key appears in the source (the source
+             key set is broadcast when small; at scale this is a shuffled
+             hash join on the key — the single unavoidable shuffle);
+          4. union surviving rows with the upserts, rewrite those buckets;
+          5. new manifest = untouched files + rewritten files, CAS-published.
+        """
+        m = self._next_manifest({"operation": "merge", **(summary or {})})
+        src = upserts.select(*[F.col(c) for c in key_cols]).unionByName(
+            deletes.select(*[F.col(c) for c in key_cols])
+        ) if deletes is not None else upserts.select(*key_cols)
+
+        bexpr = bucket_expr(m.bucket_by, m.num_buckets)
+        affected = [
+            r[0]
+            for r in src.select(bexpr.alias("b")).distinct().collect()
+        ]
+        if not affected:
+            return self.snapshot()  # empty batch: no-op, no commit
+
+        target = self.read_buckets(affected)
+        changed_keys = src.distinct()
+        # Broadcast hint: Spark's AQE will fall back to shuffled hash join if
+        # the key set exceeds the broadcast threshold at runtime.
+        kept = target.join(F.broadcast(changed_keys), on=key_cols, how="left_anti")
+        new_rows = kept.unionByName(self._conform(upserts, m.schema))
+
+        untouched = [f for f in m.files if f.get("bucket") not in set(affected)]
+        rewritten = self._write_data(new_rows, m)
+        m.files = untouched + rewritten
+        m.summary["affected_buckets"] = sorted(affected)
+        self._publish(m)
+        return m
+
+    def merge_lww(
+        self,
+        source: DataFrame,
+        key_cols: list[str],
+        order_cols: list[str],
+        summary: dict | None = None,
+    ) -> Manifest:
+        """Order-conditional MERGE: per key, keep whichever of {current target
+        row, source row} has the greater (order_cols) tuple.
+
+        This is ``MERGE INTO t USING s ON keys WHEN MATCHED AND s.order >
+        t.order THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`` — except
+        expressed as one LWW fold over (affected target rows ∪ source), which
+        reuses the engine's `lww_latest` max_by kernel and is correct for
+        arbitrarily late / out-of-order change batches: an epoch-2 event with
+        an older (ts, lsn) than the already-applied state can never win.
+
+        Tombstones (rows flagged deleted) are RETAINED as physical rows so a
+        late update older than an applied delete cannot resurrect the key;
+        user-facing reads filter them (see operators/merge.py). Compaction
+        may purge tombstones older than the replay watermark.
+
+        Scale shape: scan is pruned to the buckets that contain source keys;
+        the single shuffle is the hash aggregation over (pruned target ∪
+        source), i.e. proportional to the touched buckets, not the table.
+        """
+        from go_tfdata_spark.operators.lww import lww_latest
+
+        m = self._next_manifest({"operation": "merge", **(summary or {})})
+        src = self._conform(source, m.schema)
+
+        bexpr = bucket_expr(m.bucket_by, m.num_buckets)
+        affected = [r[0] for r in src.select(bexpr.alias("b")).distinct().collect()]
+        if not affected:
+            return self.snapshot()
+
+        target = self.read_buckets(affected)
+        merged = lww_latest(
+            target.unionByName(src), key_cols=key_cols, order_cols=order_cols
+        )
+
+        untouched = [f for f in m.files if f.get("bucket") not in set(affected)]
+        m.files = untouched + self._write_data(merged, m)
+        m.summary["affected_buckets"] = sorted(affected)
+        self._publish(m)
+        return m
+
+    # ----------------------------------------------------------- exactly-once
+    def committed_epochs(self, job_id: str) -> set[int]:
+        """Epochs already applied by `job_id`, from the manifest chain.
+
+        `foreachBatch` is at-least-once; a retried epoch finds itself here
+        and skips — this is the engine's idempotent-commit ledger
+        (SURVEY.md §2.9), fixing the reference's documented sink
+        non-atomicity (tfrecord.go:62).
+        """
+        out = set()
+        for m in self.history():
+            s = m.summary
+            if s.get("job_id") == job_id and "epoch" in s:
+                out.add(int(s["epoch"]))
+        return out

@@ -1,0 +1,225 @@
+"""The apply kernel: change batch -> LWW fold -> tombstone fold -> MERGE.
+
+One kernel shared by batch replay and streaming foreachBatch (SURVEY.md §7),
+mirroring how the reference shares its reader chain across sync and async
+sinks (tfdata/core/tfrecord.go:107-122 vs :128-180).
+
+Exactly-once: `apply_changes` consults the table's manifest-chain ledger for
+(job_id, epoch) before doing any work; a re-executed epoch (foreachBatch is
+at-least-once) is skipped. The ledger entry and the data commit are the SAME
+atomic manifest publish, so there is no window where data is committed but
+the ledger missed it — this fixes the reference's documented non-atomic sink
+(tfdata/core/tfrecord.go:62).
+
+Lineage: per-src-partition metrics (offsets applied, rows upserted/deleted,
+watermark — FIXTURES.md §5) are computed with one small aggregate and stored
+INSIDE the commit summary, so lineage is exactly-once by construction;
+`lineage_metrics` materializes the table from the manifest chain.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from go_tfdata_spark.lake.table import LakeTable
+from go_tfdata_spark.model import (
+    KEY_COLUMNS,
+    LINEAGE_SCHEMA,
+    LWW_ORDER_COLUMNS,
+)
+from go_tfdata_spark.operators.lww import lww_latest
+
+# Engine-managed metadata columns on the physical table. `_deleted` marks a
+# retained tombstone (the analog of the reference's empty-sample filter,
+# tfdata/filter/filter.go:28-41: user reads drop them); `_lsn`/`_src_part`
+# complete the stored LWW order so late events compare correctly.
+META_FIELDS = [
+    T.StructField("_lsn", T.LongType(), True),
+    T.StructField("_src_part", T.IntegerType(), True),
+    T.StructField("_deleted", T.BooleanType(), True),
+]
+META_COLUMNS = [f.name for f in META_FIELDS]
+
+# Change-stream columns that never become table columns.
+CHANGE_META = ("op", "lsn", "src_part", "epoch")
+
+
+def physical_schema(user_schema: T.StructType) -> T.StructType:
+    return T.StructType(list(user_schema.fields) + META_FIELDS)
+
+
+def create_transcripts_table(
+    spark, path: str, user_schema: T.StructType, num_buckets: int = 16
+) -> LakeTable:
+    return LakeTable.create(
+        spark, path, physical_schema(user_schema), bucket_by="conv_id", num_buckets=num_buckets
+    )
+
+
+def read_table(table: LakeTable) -> DataFrame:
+    """User-facing read: tombstones filtered, engine metadata dropped."""
+    df = table.read()
+    return df.filter(~F.coalesce(F.col("_deleted"), F.lit(False))).drop(*META_COLUMNS)
+
+
+def fold_changes(
+    changes: DataFrame,
+    key_cols: list[str] = list(KEY_COLUMNS),
+    order_cols: list[str] = list(LWW_ORDER_COLUMNS),
+    salt_buckets: int | None = None,
+) -> DataFrame:
+    """Per-key LWW fold of a change batch into one merge-ready row per key.
+
+    Output = key cols + payload cols + (_lsn, _src_part, _deleted), i.e. the
+    physical-table shape. Tombstone folding: a key whose winning event is a
+    delete becomes a `_deleted=true` row with NULL payload (the reference
+    folds such records out entirely — filter/filter.go:59-68 — but a CDC
+    table must remember the delete).
+    """
+    winners = lww_latest(changes, key_cols=key_cols, order_cols=order_cols,
+                         salt_buckets=salt_buckets)
+    is_del = F.col("op") == F.lit("D")
+    payload = [
+        c for c in changes.columns if c not in key_cols and c not in CHANGE_META
+    ]
+    cols = [F.col(c) for c in key_cols]
+    # Delete winners carry NULL payload except the LWW ordering columns.
+    cols += [
+        (F.when(~is_del, F.col(c)).otherwise(F.lit(None)).alias(c) if c != "ts" else F.col(c))
+        for c in payload
+    ]
+    cols += [
+        F.col("lsn").alias("_lsn"),
+        F.col("src_part").alias("_src_part"),
+        is_del.alias("_deleted"),
+    ]
+    return winners.select(*cols)
+
+
+@dataclass
+class ApplyResult:
+    job_id: str
+    epoch: int
+    skipped: bool
+    version: int | None
+    lineage: list[dict]
+
+
+def _lineage_rows(changes: DataFrame, folded: DataFrame) -> list[dict]:
+    """Per-src-partition lineage (small: one row per source partition)."""
+    base = (
+        changes.groupBy("src_part")
+        .agg(
+            F.count(F.lit(1)).alias("offsets_applied"),
+            F.max("ts").alias("watermark"),
+        )
+    )
+    applied = (
+        folded.groupBy(F.col("_src_part").alias("src_part"))
+        .agg(
+            F.sum(F.when(~F.col("_deleted"), 1).otherwise(0)).alias("rows_upserted"),
+            F.sum(F.when(F.col("_deleted"), 1).otherwise(0)).alias("rows_deleted"),
+        )
+    )
+    rows = (
+        base.join(applied, "src_part", "left")
+        .fillna(0, subset=["rows_upserted", "rows_deleted"])
+        .collect()
+    )
+    return [
+        {
+            "src_part": int(r["src_part"]),
+            "offsets_applied": int(r["offsets_applied"]),
+            "rows_upserted": int(r["rows_upserted"]),
+            "rows_deleted": int(r["rows_deleted"]),
+            "watermark": r["watermark"].isoformat() if r["watermark"] else None,
+        }
+        for r in rows
+    ]
+
+
+def apply_changes(
+    table: LakeTable,
+    changes: DataFrame,
+    job_id: str,
+    epoch: int,
+    key_cols: list[str] = list(KEY_COLUMNS),
+    order_cols: list[str] = list(LWW_ORDER_COLUMNS),
+    salt_buckets: int | None = None,
+    evolve_schema: bool = True,
+    collect_lineage: bool = True,
+) -> ApplyResult:
+    """Apply one change batch (micro-batch epoch or replay chunk) to `table`.
+
+    Steps: ledger check -> additive schema evolution -> LWW fold (+ optional
+    hot-key salting) -> tombstone fold -> order-conditional MERGE, with
+    lineage embedded in the atomic commit.
+    """
+    if epoch in table.committed_epochs(job_id):
+        return ApplyResult(job_id, epoch, skipped=True, version=None, lineage=[])
+
+    if evolve_schema:
+        known = set(table.schema().fieldNames()) | set(CHANGE_META) | set(key_cols)
+        new_fields = [f for f in changes.schema.fields if f.name not in known]
+        if new_fields:
+            table.update_schema(new_fields, summary={"job_id": job_id})
+
+    folded = fold_changes(changes, key_cols, order_cols, salt_buckets)
+    lineage = _lineage_rows(changes, folded) if collect_lineage else []
+
+    m = table.merge_lww(
+        folded,
+        key_cols=key_cols,
+        order_cols=["ts", "_lsn", "_src_part"],
+        summary={"job_id": job_id, "epoch": int(epoch), "lineage": lineage},
+    )
+    return ApplyResult(job_id, epoch, skipped=False, version=m.version, lineage=lineage)
+
+
+def replay(
+    table: LakeTable,
+    changes: DataFrame,
+    job_id: str,
+    epoch_col: str = "epoch",
+    **apply_kwargs,
+) -> list[ApplyResult]:
+    """Batch-replay driver: apply a change log epoch by epoch (the reference's
+    single-shot batch entry, §3.2, under the same kernel streaming uses).
+
+    Resumable: already-committed epochs are skipped via the ledger, so
+    killing a replay and re-running it converges to the identical final
+    state (checkpoint-free resume for batch mode).
+    """
+    epochs = [r[0] for r in changes.select(epoch_col).distinct().sort(epoch_col).collect()]
+    results = []
+    for e in epochs:
+        batch = changes.filter(F.col(epoch_col) == F.lit(e))
+        results.append(apply_changes(table, batch, job_id, int(e), **apply_kwargs))
+    return results
+
+
+def lineage_metrics(table: LakeTable, job_id: str | None = None) -> DataFrame:
+    """Materialize the lineage table (FIXTURES.md §5) from the manifest chain."""
+    rows = []
+    for m in table.history():
+        s = m.summary
+        if "epoch" not in s or (job_id and s.get("job_id") != job_id):
+            continue
+        for ln in s.get("lineage", []):
+            rows.append(
+                (
+                    s.get("job_id"),
+                    int(s["epoch"]),
+                    ln["src_part"],
+                    ln["offsets_applied"],
+                    ln["rows_upserted"],
+                    ln["rows_deleted"],
+                    None,
+                )
+            )
+    df = table.spark.createDataFrame(rows, LINEAGE_SCHEMA)
+    return df

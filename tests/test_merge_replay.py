@@ -1,0 +1,119 @@
+"""M1 end-to-end: change stream -> LWW fold -> tombstone fold -> MERGE ->
+final-state equality vs the sequential oracle (SURVEY.md §7 M1).
+
+Fixture variants per FIXTURES.md §2: small inserts-only, lww-conflict
+(ts ties broken by lsn), tombstone, out-of-order across epochs, skew."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from go_tfdata_spark.model import CHANGES_SCHEMA, TRANSCRIPTS_SCHEMA
+from go_tfdata_spark.operators.merge import (
+    apply_changes,
+    create_transcripts_table,
+    lineage_metrics,
+    read_table,
+    replay,
+)
+from go_tfdata_spark.sources.changes import synthetic_changes, with_v2_columns
+from tests.oracle import assert_final_state_equal, sequential_apply
+
+PAYLOAD = ["role", "text", "tool", "ts"]
+
+
+def _roundtrip(spark, tmp_path, changes_df, name, **apply_kwargs):
+    table = create_transcripts_table(spark, str(tmp_path / name), TRANSCRIPTS_SCHEMA, num_buckets=8)
+    results = replay(table, changes_df, job_id=f"job-{name}", **apply_kwargs)
+    oracle = sequential_apply(changes_df.toPandas(), PAYLOAD)
+    assert_final_state_equal(read_table(table), oracle)
+    return table, results
+
+
+@pytest.mark.parametrize(
+    "kwargs,name",
+    [
+        (dict(n_events=300, delete_frac=0.0, late_frac=0.0, n_epochs=1), "small"),
+        (dict(n_events=2000, delete_frac=0.0, late_frac=0.0, n_epochs=3), "lww"),
+        (dict(n_events=2000, delete_frac=0.15, late_frac=0.0, n_epochs=3), "tombstone"),
+        (dict(n_events=2000, delete_frac=0.10, late_frac=0.30, n_epochs=4), "late"),
+        (dict(n_events=3000, delete_frac=0.05, late_frac=0.10, n_epochs=3, skew=3.0, n_convs=20), "skew"),
+    ],
+)
+def test_replay_matches_oracle(spark, tmp_path, kwargs, name):
+    changes = synthetic_changes(spark, seed=42, **kwargs)
+    _roundtrip(spark, tmp_path, changes, name)
+
+
+def test_replay_with_salting_matches_oracle(spark, tmp_path):
+    changes = synthetic_changes(spark, n_events=3000, skew=4.0, n_convs=5, seed=7)
+    _roundtrip(spark, tmp_path, changes, "salted", salt_buckets=8)
+
+
+def test_lww_tie_breaks_deterministically(spark, tmp_path):
+    """Same ts for every event: lsn then src_part must break ties."""
+    t0 = datetime(2025, 1, 1, 0, 0, 0)
+    rows = [
+        ("U", 5, t0, "c1", 0, "user", "v5", None, 0, 1),
+        ("U", 9, t0, "c1", 0, "user", "v9", None, 0, 0),
+        ("U", 2, t0, "c1", 0, "user", "v2", None, 0, 3),
+    ]
+    df = spark.createDataFrame(rows, CHANGES_SCHEMA)
+    table, _ = _roundtrip(spark, tmp_path, df, "ties")
+    assert read_table(table).collect()[0].text == "v9"
+
+
+def test_idempotent_epoch_skip(spark, tmp_path):
+    """Re-applying a committed epoch is a no-op (foreachBatch at-least-once)."""
+    changes = synthetic_changes(spark, n_events=500, n_epochs=2)
+    table = create_transcripts_table(spark, str(tmp_path / "idem"), TRANSCRIPTS_SCHEMA, num_buckets=4)
+    replay(table, changes, job_id="j")
+    v = table.current_version()
+    r = apply_changes(table, changes.filter("epoch = 0"), job_id="j", epoch=0)
+    assert r.skipped
+    assert table.current_version() == v
+    oracle = sequential_apply(changes.toPandas(), PAYLOAD)
+    assert_final_state_equal(read_table(table), oracle)
+
+
+def test_resume_after_partial_replay(spark, tmp_path):
+    """Kill mid-replay (simulated: apply only epoch 0), re-run full replay ->
+    identical final state, epoch 0 not double-applied."""
+    changes = synthetic_changes(spark, n_events=1200, n_epochs=3, delete_frac=0.1)
+    table = create_transcripts_table(spark, str(tmp_path / "resume"), TRANSCRIPTS_SCHEMA, num_buckets=4)
+    apply_changes(table, changes.filter("epoch = 0"), job_id="j", epoch=0)
+    results = replay(table, changes, job_id="j")
+    assert results[0].skipped and not results[1].skipped
+    oracle = sequential_apply(changes.toPandas(), PAYLOAD)
+    assert_final_state_equal(read_table(table), oracle)
+
+
+def test_schema_evolution_mid_stream(spark, tmp_path):
+    """Epoch 0 arrives with the v1 schema, epoch 1 with additive v2 columns
+    (tool_args, meta): the engine must evolve the table transactionally and
+    carry old rows as NULL (transformer.go:135-142 stance)."""
+    changes = synthetic_changes(spark, n_events=800, n_epochs=2, delete_frac=0.0)
+    e0 = changes.filter("epoch = 0")
+    e1 = with_v2_columns(changes.filter("epoch = 1"))
+    table = create_transcripts_table(spark, str(tmp_path / "evo"), TRANSCRIPTS_SCHEMA, num_buckets=4)
+    apply_changes(table, e0, job_id="j", epoch=0)
+    apply_changes(table, e1, job_id="j", epoch=1)
+    df = read_table(table)
+    assert {"tool_args", "meta"} <= set(df.columns)
+    oracle = sequential_apply(changes.toPandas(), PAYLOAD)
+    assert_final_state_equal(df.select("conv_id", "turn_idx", *PAYLOAD), oracle)
+    # rows whose winner came from epoch 1 carry meta
+    assert df.filter("meta IS NOT NULL").count() > 0
+
+
+def test_lineage_metrics(spark, tmp_path):
+    changes = synthetic_changes(spark, n_events=1000, n_epochs=2, n_src_parts=4)
+    table = create_transcripts_table(spark, str(tmp_path / "lin"), TRANSCRIPTS_SCHEMA, num_buckets=4)
+    replay(table, changes, job_id="j")
+    lm = lineage_metrics(table, "j").toPandas()
+    # offsets: every event accounted exactly once across (epoch, src_part)
+    assert lm.offsets_applied.sum() == 1000
+    assert set(lm.epoch.unique()) == {0, 1}
+    assert lm.src_part.nunique() == 4
