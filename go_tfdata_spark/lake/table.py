@@ -46,6 +46,9 @@ from pyspark.sql import types as T
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
 _BUCKET_COL = "_bucket"
+# Write-slices per bucket: constant (a table-layout property, identical at
+# every cluster size) so file counts stay bounded: files/commit <= buckets*4.
+_WRITE_SPLITS_PER_BUCKET = 4
 
 
 def bucket_expr(bucket_by: str, num_buckets: int):
@@ -221,13 +224,30 @@ class LakeTable:
         return self.spark.read.schema(m.schema).parquet(*paths)
 
     # --------------------------------------------------------------- writes
-    def _write_data(self, df: DataFrame, m: Manifest) -> list[dict]:
-        """Write df (bucketed) under a fresh uuid dir; return file entries."""
+    def _write_data(self, df: DataFrame, m: Manifest, presharded: bool = False) -> list[dict]:
+        """Write df (bucketed) under a fresh uuid dir; return file entries.
+
+        `presharded=True` means the caller guarantees each input partition
+        already holds rows of (mostly) one bucket — e.g. rows read straight
+        from per-bucket files — so the clustering shuffle is skipped and the
+        write is shuffle-free."""
         commit_dir = os.path.join(_DATA_DIR, uuid.uuid4().hex)
         abs_dir = os.path.join(self.path, commit_dir)
         out = df.withColumn(_BUCKET_COL, bucket_expr(m.bucket_by, m.num_buckets))
-        # One parquet dir per bucket partition: rewrites and reads prune by
-        # bucket without opening files.
+        if not presharded:
+            # One parquet dir per bucket partition: rewrites and reads prune
+            # by bucket without opening files. Cluster rows by (bucket,
+            # split) before the write: bounded files per bucket (the
+            # small-files guard) AND no single hot bucket bounding the write
+            # stage's makespan — with Zipf-skewed conv_ids one bucket can
+            # carry several times the mean, and an unsplit repartition caps
+            # scaling at (total work / largest bucket) regardless of cores.
+            splits = _WRITE_SPLITS_PER_BUCKET
+            out = out.repartition(
+                m.num_buckets * splits,
+                F.col(_BUCKET_COL),
+                F.pmod(F.xxhash64(F.col(m.bucket_by), F.lit(17)), F.lit(splits)),
+            )
         out.write.partitionBy(_BUCKET_COL).parquet(abs_dir, mode="errorifexists")
         entries: list[dict] = []
         for bdir in sorted(os.listdir(abs_dir)):
@@ -347,44 +367,72 @@ class LakeTable:
         key_cols: list[str],
         order_cols: list[str],
         summary: dict | None = None,
+        strategy: str = "broadcast",
+        affected: list[int] | None = None,
     ) -> Manifest:
         """Order-conditional MERGE: per key, keep whichever of {current target
         row, source row} has the greater (order_cols) tuple.
 
         This is ``MERGE INTO t USING s ON keys WHEN MATCHED AND s.order >
-        t.order THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`` — except
-        expressed as one LWW fold over (affected target rows ∪ source), which
-        reuses the engine's `lww_latest` max_by kernel and is correct for
-        arbitrarily late / out-of-order change batches: an epoch-2 event with
-        an older (ts, lsn) than the already-applied state can never win.
+        t.order THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`` — the
+        matched resolution expressed as the engine's `lww_latest` max_by
+        kernel, which is correct for arbitrarily late / out-of-order change
+        batches: an epoch-2 event with an older (ts, lsn) than the
+        already-applied state can never win.
 
         Tombstones (rows flagged deleted) are RETAINED as physical rows so a
         late update older than an applied delete cannot resurrect the key;
         user-facing reads filter them (see operators/merge.py). Compaction
         may purge tombstones older than the replay watermark.
 
-        Scale shape: scan is pruned to the buckets that contain source keys;
-        the single shuffle is the hash aggregation over (pruned target ∪
-        source), i.e. proportional to the touched buckets, not the table.
+        Physical strategies (both prune the scan to the buckets that contain
+        source keys; new manifest = untouched files + rewrites, CAS-published):
+
+        - `strategy="broadcast"` — for SPARSE batches (keys << table, the
+          normal CDC shape): target rows whose key is NOT in the source pass
+          through via a broadcast anti join (no shuffle; read from per-bucket
+          files, written back shuffle-free via `presharded`); only colliding
+          rows ∪ source go through the LWW fold, so shuffle volume is
+          O(change batch), not O(table). Costs one driver-side broadcast
+          build per write job — wasted work when most keys collide.
+        - `strategy="shuffle"` — for DENSE batches (keys ~ table): one
+          union + LWW fold over (pruned target ∪ source); a single hash
+          aggregation shuffle of the affected buckets, no broadcast, no
+          driver round-trips beyond bucket discovery.
         """
         from go_tfdata_spark.operators.lww import lww_latest
 
         m = self._next_manifest({"operation": "merge", **(summary or {})})
         src = self._conform(source, m.schema)
 
-        bexpr = bucket_expr(m.bucket_by, m.num_buckets)
-        affected = [r[0] for r in src.select(bexpr.alias("b")).distinct().collect()]
+        if affected is None:
+            bexpr = bucket_expr(m.bucket_by, m.num_buckets)
+            affected = [r[0] for r in src.select(bexpr.alias("b")).distinct().collect()]
         if not affected:
             return self.snapshot()
 
         target = self.read_buckets(affected)
-        merged = lww_latest(
-            target.unionByName(src), key_cols=key_cols, order_cols=order_cols
-        )
-
         untouched = [f for f in m.files if f.get("bucket") not in set(affected)]
-        m.files = untouched + self._write_data(merged, m)
+
+        if strategy == "shuffle":
+            merged = lww_latest(
+                target.unionByName(src), key_cols=key_cols, order_cols=order_cols
+            )
+            m.files = untouched + self._write_data(merged, m)
+        else:
+            keys = F.broadcast(src.select(*key_cols).distinct())
+            passthrough = target.join(keys, on=key_cols, how="left_anti")
+            colliding = target.join(keys, on=key_cols, how="left_semi")
+            winners = lww_latest(
+                colliding.unionByName(src), key_cols=key_cols, order_cols=order_cols
+            )
+            m.files = (
+                untouched
+                + self._write_data(passthrough, m, presharded=True)
+                + self._write_data(winners, m)
+            )
         m.summary["affected_buckets"] = sorted(affected)
+        m.summary["merge_strategy"] = strategy
         self._publish(m)
         return m
 

@@ -1,0 +1,265 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact, shingle-Jaccard, MinHash+LSH, SimHash, and embedding-cosine
+near-dup — each designed for the 100 TB shape:
+
+- exact dedup is a hash aggregation on a fingerprint (map-side combine);
+- Jaccard avoids the O(n^2) cross join by exploding shingles and joining
+  on shingle (only docs sharing at least one shingle ever meet);
+- MinHash+LSH buckets by band signature so candidate generation is a
+  groupBy, not a join of everything with everything;
+- SimHash reduces each doc to one 32-bit key; near-dup candidates share a
+  band of the key;
+- embedding near-dup offers brute-force (baseline, quadratic) and a
+  random-hyperplane-bucketed variant (the scale path).
+
+All hashes are engine-agnostic (md5 / polynomial rolling hash) so DuckDB
+oracles can restate them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from go_tfdata_spark.functions.text import fingerprint, rolling_hash, word_shingles
+
+_MERSENNE = 2**31 - 1
+
+
+def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup on normalized-text fingerprint: keep the row with the
+    smallest id per fingerprint group. Output: input columns + `fp`."""
+    fp = fingerprint(F.col(text_col)).alias("fp")
+    winners = (
+        df.select(fp, F.col(id_col), *[c for c in df.columns if c != id_col])
+        .groupBy("fp")
+        .agg(F.min_by(F.struct(*df.columns), F.col(id_col)).alias("_r"))
+    )
+    return winners.select("fp", "_r.*")
+
+
+def shingle_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard similarity for all document pairs sharing
+    >=1 shingle, filtered to jaccard >= threshold, id_a < id_b.
+
+    Plan shape: explode distinct shingles -> self-join on shingle (docs
+    that share nothing never meet) -> count intersections -> jaccard from
+    |A|,|B|,|A∩B|. Shuffles are keyed by shingle then by pair.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("sh"),
+    )
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), "sh")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        pairs.join(sizes.withColumnsRenamed({"doc": "id_a", "sz": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"doc": "id_b", "sz": "sz_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def _minhash_params(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for h_i(x) = (a*x + b) mod p."""
+    params = []
+    a, b = 1, 0
+    for i in range(num_hashes):
+        # simple LCG-derived constants; odd a, stable across runs
+        a = (a * 1103515245 + 12345 + seed + i) % _MERSENNE
+        b = (b * 69069 + 1 + seed * 31 + i) % _MERSENNE
+        params.append((a | 1, b))
+    return params
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    n: int = 3,
+    seed: int = 7,
+) -> DataFrame:
+    """MinHash signature per document: sig[i] = min over shingles s of
+    (a_i * rolling_hash(s) + b_i) mod p. Output: (id, sig array<long>).
+
+    One explode + one groupBy; the per-shingle hash family is a JVM array
+    expression, the min fold is elementwise via per-slot F.min aggregates.
+    """
+    params = _minhash_params(num_hashes, seed)
+    sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("sh"),
+    ).withColumn("x", rolling_hash(F.col("sh")))
+    hashed = sh.select(
+        id_col,
+        *[
+            ((F.col("x") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)).alias(f"h{i}")
+            for i, (a, b) in enumerate(params)
+        ],
+    )
+    agg = hashed.groupBy(id_col).agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
+    )
+    return agg.select(id_col, F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame, id_col: str, bands: int = 4, sig_col: str = "sig"
+) -> DataFrame:
+    """Band the signatures and emit candidate pairs that collide in >=1 band.
+
+    groupBy (band_idx, band_hash) keeps candidate generation linear in the
+    corpus; only same-bucket docs are paired.
+    """
+    sig_len_df = sig_df.select(F.size(sig_col).alias("n")).limit(1).collect()
+    rows_per_band = (sig_len_df[0]["n"] if sig_len_df else bands) // bands
+    banded = sig_df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.hash(F.slice(F.col(sig_col), i * rows_per_band + 1, rows_per_band)).alias("bh"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "bb.band", "bb.bh")
+    pairs = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bh"])
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.5,
+    seed: int = 7,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures -> banded candidate
+    pairs -> estimated jaccard (signature agreement) >= threshold."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, n, seed)
+    cands = lsh_candidate_pairs(sigs, id_col, bands)
+    a = sigs.withColumnsRenamed({id_col: "id_a", "sig": "sig_a"})
+    b = sigs.withColumnsRenamed({id_col: "id_b", "sig": "sig_b"})
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(num_hashes)
+    return (
+        cands.join(a, "id_a").join(b, "id_b")
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """SimHash: per token, a `bits`-bit rolling hash votes +1/-1 per bit
+    position; the sign of each bit's vote sum forms the fingerprint.
+    Output: (id, simhash long). One explode + one groupBy with `bits`
+    conditional sums — all codegen'd."""
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")).alias("w"),
+    ).withColumn("h", rolling_hash(F.col("w"), mod=2**bits))
+    votes = tok.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(bits)
+        ]
+    )
+    acc = F.lit(0).cast("long")
+    for i in range(bits):
+        acc = acc + F.when(F.col(f"b{i}") > 0, F.lit(2**i).cast("long")).otherwise(0)
+    return votes.select(id_col, acc.alias("simhash"))
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    hyperplanes: int = 0,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos >= threshold, id_a < id_b).
+
+    hyperplanes=0 -> brute-force self-join (exact; quadratic — the small-N
+    baseline). hyperplanes=k -> random-hyperplane bucket join: docs must
+    agree on all k sign bits to be compared (the 100 TB path; recall
+    trades against k)."""
+    from go_tfdata_spark.functions.vectors import cosine_similarity
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    if hyperplanes > 0:
+        dim = len(df.select(vec_col).first()[0])
+        import numpy as np
+
+        rng = np.random.RandomState(seed)
+        planes = rng.randn(hyperplanes, dim).astype(float)
+        def bucket(vc):
+            bits = [
+                (
+                    F.aggregate(
+                        F.zip_with(
+                            vc,
+                            F.array(*[F.lit(float(x)) for x in planes[j]]),
+                            lambda u, w: u * w,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    > 0
+                ).cast("int") * (2**j)
+                for j in range(hyperplanes)
+            ]
+            out = F.lit(0)
+            for bexp in bits:
+                out = out + bexp
+            return out
+
+        a = a.withColumn("bkt", bucket(F.col("va")))
+        b = b.withColumn("bkt", bucket(F.col("vb")))
+        joined = a.join(b, "bkt").filter(F.col("id_a") < F.col("id_b"))
+    else:
+        joined = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        joined.withColumn("cos", cosine_similarity(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

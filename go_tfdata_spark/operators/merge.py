@@ -109,8 +109,17 @@ class ApplyResult:
     lineage: list[dict]
 
 
-def _lineage_rows(changes: DataFrame, folded: DataFrame) -> list[dict]:
-    """Per-src-partition lineage (small: one row per source partition)."""
+def _lineage_rows(
+    changes: DataFrame,
+    key_cols: list[str] = list(KEY_COLUMNS),
+    order_cols: list[str] = list(LWW_ORDER_COLUMNS),
+) -> list[dict]:
+    """Per-src-partition lineage (small: one row per source partition).
+
+    Runs its own PRUNED LWW fold over just (keys, order, op): Catalyst
+    cannot prune struct fields through max_by, so folding the full payload
+    here would shuffle every text byte a second time (measured ~5x cost).
+    """
     base = (
         changes.groupBy("src_part")
         .agg(
@@ -118,11 +127,16 @@ def _lineage_rows(changes: DataFrame, folded: DataFrame) -> list[dict]:
             F.max("ts").alias("watermark"),
         )
     )
+    slim = lww_latest(
+        changes.select(*key_cols, *order_cols, "op"),
+        key_cols=key_cols,
+        order_cols=order_cols,
+    )
     applied = (
-        folded.groupBy(F.col("_src_part").alias("src_part"))
+        slim.groupBy(F.col("src_part"))
         .agg(
-            F.sum(F.when(~F.col("_deleted"), 1).otherwise(0)).alias("rows_upserted"),
-            F.sum(F.when(F.col("_deleted"), 1).otherwise(0)).alias("rows_deleted"),
+            F.sum(F.when(F.col("op") != "D", 1).otherwise(0)).alias("rows_upserted"),
+            F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("rows_deleted"),
         )
     )
     rows = (
@@ -142,6 +156,60 @@ def _lineage_rows(changes: DataFrame, folded: DataFrame) -> list[dict]:
     ]
 
 
+def precompute_epoch_stats(
+    table: LakeTable,
+    changes: DataFrame,
+    key_cols: list[str] = list(KEY_COLUMNS),
+    order_cols: list[str] = list(LWW_ORDER_COLUMNS),
+    epoch_col: str = "epoch",
+) -> dict[int, dict]:
+    """One Spark job computing, for EVERY epoch of a replay at once:
+    per-src-partition lineage + the affected bucket set + distinct-key count.
+
+    Batch replay applies epochs serially; paying fixed job latency per epoch
+    for these small aggregates dominates wall time at high parallelism
+    (measured ~5s/epoch of driver-side serial). Folding them into one
+    up-front pass makes the per-epoch serial residue just the merge write.
+    """
+    from go_tfdata_spark.lake.table import bucket_expr
+
+    m = table.snapshot()
+    base = (
+        changes.groupBy(epoch_col, "src_part")
+        .agg(F.count(F.lit(1)).alias("offsets_applied"), F.max("ts").alias("watermark"))
+    )
+    slim = lww_latest(
+        changes.select(epoch_col, *key_cols, *order_cols, "op"),
+        key_cols=[epoch_col, *key_cols],
+        order_cols=order_cols,
+    ).withColumn("_bucket", bucket_expr(m.bucket_by, m.num_buckets))
+    applied = slim.groupBy(epoch_col, "src_part").agg(
+        F.sum(F.when(F.col("op") != "D", 1).otherwise(0)).alias("rows_upserted"),
+        F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("rows_deleted"),
+    )
+    buckets = slim.groupBy(epoch_col).agg(F.collect_set("_bucket").alias("affected"))
+    rows = (
+        base.join(applied, [epoch_col, "src_part"], "left")
+        .fillna(0, subset=["rows_upserted", "rows_deleted"])
+        .join(buckets, epoch_col, "left")
+        .collect()
+    )
+    stats: dict[int, dict] = {}
+    for r in rows:
+        e = int(r[epoch_col])
+        s = stats.setdefault(e, {"lineage": [], "affected": sorted(r["affected"] or [])})
+        s["lineage"].append(
+            {
+                "src_part": int(r["src_part"]),
+                "offsets_applied": int(r["offsets_applied"]),
+                "rows_upserted": int(r["rows_upserted"]),
+                "rows_deleted": int(r["rows_deleted"]),
+                "watermark": r["watermark"].isoformat() if r["watermark"] else None,
+            }
+        )
+    return stats
+
+
 def apply_changes(
     table: LakeTable,
     changes: DataFrame,
@@ -152,6 +220,8 @@ def apply_changes(
     salt_buckets: int | None = None,
     evolve_schema: bool = True,
     collect_lineage: bool = True,
+    merge_strategy: str = "auto",
+    precomputed: dict | None = None,
 ) -> ApplyResult:
     """Apply one change batch (micro-batch epoch or replay chunk) to `table`.
 
@@ -168,14 +238,33 @@ def apply_changes(
         if new_fields:
             table.update_schema(new_fields, summary={"job_id": job_id})
 
+    # The folded batch feeds three consumers (lineage agg, affected-bucket
+    # discovery, the merge write). Deliberately NOT persisted: caching wide
+    # text rows deserialized costs ~10x the fold itself (object+GC churn),
+    # and Catalyst column-prunes the recomputations — the lineage pass
+    # aggregates only (op, src_part), the bucket-discovery pass reduces to
+    # distinct keys; only the merge write pays for the full payload fold.
     folded = fold_changes(changes, key_cols, order_cols, salt_buckets)
-    lineage = _lineage_rows(changes, folded) if collect_lineage else []
-
+    if precomputed is not None:
+        lineage = precomputed.get("lineage", [])
+        affected = precomputed.get("affected")
+    else:
+        lineage = _lineage_rows(changes, key_cols, order_cols) if collect_lineage else []
+        affected = None
+    strategy = merge_strategy
+    if strategy == "auto":
+        # Sparse batches (few distinct keys) -> broadcast passthrough merge;
+        # dense batches -> single-shuffle union fold. The distinct-key count
+        # comes free from the lineage aggregate when collected.
+        batch_keys = sum(r["rows_upserted"] + r["rows_deleted"] for r in lineage) if lineage else None
+        strategy = "broadcast" if (batch_keys is not None and batch_keys < 1_000_000) else "shuffle"
     m = table.merge_lww(
         folded,
         key_cols=key_cols,
         order_cols=["ts", "_lsn", "_src_part"],
         summary={"job_id": job_id, "epoch": int(epoch), "lineage": lineage},
+        strategy=strategy,
+        affected=affected,
     )
     return ApplyResult(job_id, epoch, skipped=False, version=m.version, lineage=lineage)
 
@@ -185,6 +274,7 @@ def replay(
     changes: DataFrame,
     job_id: str,
     epoch_col: str = "epoch",
+    collect_lineage: bool = True,
     **apply_kwargs,
 ) -> list[ApplyResult]:
     """Batch-replay driver: apply a change log epoch by epoch (the reference's
@@ -193,12 +283,35 @@ def replay(
     Resumable: already-committed epochs are skipped via the ledger, so
     killing a replay and re-running it converges to the identical final
     state (checkpoint-free resume for batch mode).
+
+    All per-epoch statistics (lineage, affected buckets) are computed in one
+    up-front job (`precompute_epoch_stats`); each epoch then costs exactly
+    one merge-write job plus a manifest commit.
     """
-    epochs = [r[0] for r in changes.select(epoch_col).distinct().sort(epoch_col).collect()]
+    stats = (
+        precompute_epoch_stats(
+            table, changes,
+            key_cols=apply_kwargs.get("key_cols", list(KEY_COLUMNS)),
+            order_cols=apply_kwargs.get("order_cols", list(LWW_ORDER_COLUMNS)),
+            epoch_col=epoch_col,
+        )
+        if collect_lineage
+        else {
+            int(r[0]): {"lineage": [], "affected": None}
+            for r in changes.select(epoch_col).distinct().collect()
+        }
+    )
     results = []
-    for e in epochs:
+    for e in sorted(stats):
         batch = changes.filter(F.col(epoch_col) == F.lit(e))
-        results.append(apply_changes(table, batch, job_id, int(e), **apply_kwargs))
+        results.append(
+            apply_changes(
+                table, batch, job_id, int(e),
+                collect_lineage=collect_lineage,
+                precomputed=stats[e],
+                **apply_kwargs,
+            )
+        )
     return results
 
 

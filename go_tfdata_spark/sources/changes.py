@@ -43,6 +43,7 @@ def synthetic_changes(
     skew: float = 0.0,
     seed: int = 42,
     num_partitions: int | None = None,
+    text_chars: int = 0,
 ) -> DataFrame:
     """Deterministic synthetic CDC stream over the transcripts key space.
 
@@ -75,6 +76,11 @@ def synthetic_changes(
     )
     conv_id = F.concat(F.lit("c"), F.lpad(conv_idx.cast("string"), 8, "0"))
     turn_idx = F.pmod(F.xxhash64(i, F.lit(seed * 7 + 5)), F.lit(turns_per_conv)).cast("int")
+    text = F.concat_ws("-", F.lit("text"), conv_id, turn_idx.cast("string"), i.cast("string"))
+    if text_chars:
+        # Realistic transcript turns: pad to ~text_chars with deterministic
+        # filler (keeps the unique LWW-identifying prefix).
+        text = F.rpad(text, text_chars, " lorem ipsum dolor sit amet consectetur adipiscing elit sed do")
 
     return df.select(
         F.when(u_op < F.lit(delete_frac), F.lit("D"))
@@ -86,7 +92,7 @@ def synthetic_changes(
         conv_id.alias("conv_id"),
         turn_idx.alias("turn_idx"),
         role.alias("role"),
-        F.concat_ws("-", F.lit("text"), conv_id, turn_idx.cast("string"), i.cast("string")).alias("text"),
+        text.alias("text"),
         F.when(
             role == "tool",
             F.concat(F.lit("tool"), F.pmod(F.xxhash64(i, F.lit(seed * 7 + 6)), F.lit(5)).cast("string")),

@@ -1,0 +1,129 @@
+"""Training-data operators: dedup family, similarity search, text functions,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_tfdata_spark.functions.multimodal import decode_and_featurize, frame_sample, synthetic_media
+from go_tfdata_spark.functions.text import normalize_text, token_count
+from go_tfdata_spark.operators.dedup import (
+    dedup_exact,
+    embedding_near_dups,
+    minhash_near_dups,
+    shingle_jaccard_pairs,
+    simhash,
+)
+from go_tfdata_spark.operators.similarity import IVFIndex, brute_force_topk
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (0, base),
+        (1, base),                                   # exact dup of 0
+        (2, base.replace("dog", "cat")),             # near dup
+        (3, "completely different words entirely unrelated content here now"),
+        (4, "  THE  quick   brown fox jumps over the lazy dog again and again today "),  # ws/case dup of 0
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_exact_normalized(spark, docs):
+    out = dedup_exact(docs, "text", "doc_id")
+    groups = {r["fp"]: r["doc_id"] for r in out.collect()}
+    # 0,1,4 collapse to one group (normalization folds case+whitespace), min id kept
+    assert len(groups) == 3
+    assert 0 in groups.values() and 2 in groups.values() and 3 in groups.values()
+
+
+def test_shingle_jaccard(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             shingle_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.4).collect()}
+    assert pairs[(0, 1)] == 1.0 and pairs[(0, 4)] == 1.0 and pairs[(1, 4)] == 1.0
+    assert 0.4 <= pairs[(0, 2)] < 1.0  # near dup
+    assert (0, 3) not in pairs
+
+
+def test_minhash_near_dups_finds_near_and_not_far(spark, docs):
+    out = {(r["id_a"], r["id_b"]) for r in
+           minhash_near_dups(docs, "doc_id", "text", num_hashes=16, bands=8, threshold=0.5).collect()}
+    assert (0, 1) in out and (0, 4) in out
+    assert (0, 3) not in out and (1, 3) not in out and (2, 3) not in out
+
+
+def test_simhash_hamming(spark, docs):
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(docs, "doc_id", "text").collect()}
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+    assert sh[0] == sh[1] == sh[4]          # identical after normalization
+    assert ham(sh[0], sh[2]) < ham(sh[0], sh[3])  # near dup closer than unrelated
+
+
+def test_embedding_near_dups_and_lsh_buckets(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),   # near 0
+        (2, [0.0, 1.0, 0.0, 0.0]),      # orthogonal
+        (3, [-1.0, 0.0, 0.0, 0.0]),     # opposite
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    brute = {(r["id_a"], r["id_b"]) for r in
+             embedding_near_dups(df, "vec_id", "v", threshold=0.95).collect()}
+    assert brute == {(0, 1)}
+    lsh = {(r["id_a"], r["id_b"]) for r in
+           embedding_near_dups(df, "vec_id", "v", threshold=0.95, hyperplanes=4).collect()}
+    assert lsh <= brute  # bucketing may lose recall, never adds false pairs
+    assert (0, 3) not in lsh
+
+
+def test_ivf_topk_matches_brute_force(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    vecs = rng.randn(200, 16).astype(float)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(200)], "vec_id long, v array<double>"
+    )
+    q = [float(x) for x in vecs[7]]
+    exact = [r["vec_id"] for r in brute_force_topk(df, "v", q, k=5, id_col="vec_id").collect()]
+    assert exact[0] == 7  # self is nearest
+    idx = IVFIndex(df, "v", "vec_id", ncells=8)
+    approx = [r["vec_id"] for r in idx.topk(q, k=5, nprobe=8).collect()]
+    # probing ALL cells == exact search
+    assert approx == exact
+
+
+def test_text_functions_edgecases(spark):
+    df = spark.createDataFrame([(1, ""), (2, "   "), (3, "one"), (4, "a  b\tc")],
+                               "id long, text string")
+    out = df.select(
+        "id",
+        token_count(F.col("text")).alias("n"),
+        normalize_text(F.col("text")).alias("norm"),
+    ).collect()
+    got = {r["id"]: (r["n"], r["norm"]) for r in out}
+    assert got[1] == (0, "") and got[2] == (0, "")
+    assert got[3] == (1, "one")
+    assert got[4] == (3, "a b c")
+
+
+def test_multimodal_plumbing(spark):
+    media = synthetic_media(spark, n=50)
+    feats = decode_and_featurize(media)
+    rows = feats.collect()
+    assert len(rows) == 50
+    assert all(r["width"] == 8 and r["height"] == 8 for r in rows)
+    assert all(len(r["feature"]) == 16 for r in rows)
+    assert all(not math.isnan(x) for r in rows for x in r["feature"])
+    # deterministic across runs
+    again = {r["media_id"]: r["feature"] for r in decode_and_featurize(media).collect()}
+    assert all(again[r["media_id"]] == r["feature"] for r in rows)
+    # frame sampling keeps every nth frame of videos only
+    fs = frame_sample(media, every_nth=10)
+    assert fs.filter(F.col("kind") != "video").count() == 0
+    assert fs.filter(F.pmod(F.col("frame_idx"), F.lit(10)) != 0).count() == 0
