@@ -357,6 +357,39 @@ def _q_media_plumbing(spark, sf):
     return out.select("media_id", "kind", "width", "height", "n_bytes")
 
 
+def _q_grouping_sets(spark, sf):
+    """Rollup aggregation (beyond the reference's single group-by-key fold):
+    revenue by (returnflag, linestatus), by returnflag, and grand total."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+             F.count("*").alias("n"))
+    )
+
+
+def _q_topk_orders(spark, sf):
+    """Sort + limit (deterministic tiebreak) — §2.7: order is imposed at
+    verification time, TakeOrderedAndProject physically."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(50)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("total"))
+    )
+
+
+def _q_anti_join(spark, sf):
+    """Anti join: customers with no orders (the merge passthrough kernel)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    small = o.filter(F.col("o_totalprice") < 20000)
+    return (
+        c.join(small, c.c_custkey == small.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lww_latest": _q_lww_latest,
@@ -387,6 +420,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_sum": _q_props_sum,
         "union_by_name": _q_union_by_name,
         "media_plumbing": _q_media_plumbing,
+        "grouping_sets": _q_grouping_sets,
+        "topk_orders": _q_topk_orders,
+        "anti_join": _q_anti_join,
     }
 
 
@@ -620,6 +656,21 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, lang, NULL AS source FROM documents WHERE doc_id < 100
           UNION ALL
           SELECT doc_id, NULL AS lang, source FROM documents WHERE doc_id >= 400
+        """,
+        "grouping_sets": """
+          SELECT l_returnflag, l_linestatus,
+                 round(sum(l_extendedprice), 2) AS revenue, count(*) AS n
+          FROM lineitem
+          GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "topk_orders": """
+          SELECT o_orderkey, round(o_totalprice, 2) AS total
+          FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 50
+        """,
+        "anti_join": """
+          SELECT c_custkey, c_mktsegment FROM customer
+          WHERE c_custkey NOT IN
+            (SELECT o_custkey FROM orders WHERE o_totalprice < 20000)
         """,
         # media_plumbing: intentionally omitted (mapInPandas featurize is not
         # SQL-expressible) -> driver records the rows-only check.

@@ -436,6 +436,41 @@ class LakeTable:
         self._publish(m)
         return m
 
+    def compact(
+        self,
+        buckets: list[int] | None = None,
+        max_files_per_bucket: int = 1,
+        purge_tombstones: bool = False,
+        deleted_col: str = "_deleted",
+        summary: dict | None = None,
+    ) -> Manifest:
+        """Maintenance rewrite: coalesce each bucket's files and optionally
+        purge retained tombstones (safe once no change older than the
+        replay watermark can still arrive). No semantic change to live
+        rows; snapshot isolation means readers of older versions are
+        unaffected. Incremental-merge COW accumulates files per bucket;
+        compaction restores the read-amplification floor."""
+        m = self._next_manifest({"operation": "compact", **(summary or {})})
+        by_bucket: dict[int, list[dict]] = {}
+        for f in m.files:
+            by_bucket.setdefault(f.get("bucket"), []).append(f)
+        todo = [
+            b
+            for b, fs in by_bucket.items()
+            if (buckets is None or b in set(buckets))
+            and (len(fs) > max_files_per_bucket or purge_tombstones)
+        ]
+        if not todo:
+            return self.snapshot()
+        df = self.read_buckets(todo)
+        if purge_tombstones and deleted_col in df.columns:
+            df = df.filter(~F.coalesce(F.col(deleted_col), F.lit(False)))
+        kept = [f for f in m.files if f.get("bucket") not in set(todo)]
+        m.files = kept + self._write_data(df, m)
+        m.summary["compacted_buckets"] = sorted(todo)
+        self._publish(m)
+        return m
+
     # ----------------------------------------------------------- exactly-once
     def committed_epochs(self, job_id: str) -> set[int]:
         """Epochs already applied by `job_id`, from the manifest chain.

@@ -174,39 +174,53 @@ def precompute_epoch_stats(
     from go_tfdata_spark.lake.table import bucket_expr
 
     m = table.snapshot()
+    # Job 1 — one raw pass: per (epoch, src_part) offsets + watermark, plus
+    # the affected bucket set. Buckets come from RAW keys (not the fold):
+    # every key present in a batch produces exactly one folded row, so the
+    # raw key set and the folded key set hit identical buckets.
     base = (
-        changes.groupBy(epoch_col, "src_part")
-        .agg(F.count(F.lit(1)).alias("offsets_applied"), F.max("ts").alias("watermark"))
-    )
-    slim = lww_latest(
-        changes.select(epoch_col, *key_cols, *order_cols, "op"),
-        key_cols=[epoch_col, *key_cols],
-        order_cols=order_cols,
-    ).withColumn("_bucket", bucket_expr(m.bucket_by, m.num_buckets))
-    applied = slim.groupBy(epoch_col, "src_part").agg(
-        F.sum(F.when(F.col("op") != "D", 1).otherwise(0)).alias("rows_upserted"),
-        F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("rows_deleted"),
-    )
-    buckets = slim.groupBy(epoch_col).agg(F.collect_set("_bucket").alias("affected"))
-    rows = (
-        base.join(applied, [epoch_col, "src_part"], "left")
-        .fillna(0, subset=["rows_upserted", "rows_deleted"])
-        .join(buckets, epoch_col, "left")
+        changes.withColumn("_b", bucket_expr(m.bucket_by, m.num_buckets))
+        .groupBy(epoch_col, "src_part")
+        .agg(
+            F.count(F.lit(1)).alias("offsets_applied"),
+            F.max("ts").alias("watermark"),
+            F.collect_set("_b").alias("bks"),
+        )
         .collect()
     )
+    # Job 2 — the only fold: winner op per key -> upsert/delete counts per
+    # (epoch, src_part). Pruned columns only (max_by/struct pruning caveat).
+    applied = (
+        lww_latest(
+            changes.select(epoch_col, *key_cols, *order_cols, "op"),
+            key_cols=[epoch_col, *key_cols],
+            order_cols=order_cols,
+        )
+        .groupBy(epoch_col, "src_part")
+        .agg(
+            F.sum(F.when(F.col("op") != "D", 1).otherwise(0)).alias("rows_upserted"),
+            F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("rows_deleted"),
+        )
+        .collect()
+    )
+    upd = {(int(r[epoch_col]), int(r["src_part"])): r for r in applied}
     stats: dict[int, dict] = {}
-    for r in rows:
+    for r in base:
         e = int(r[epoch_col])
-        s = stats.setdefault(e, {"lineage": [], "affected": sorted(r["affected"] or [])})
+        s = stats.setdefault(e, {"lineage": [], "affected": set()})
+        s["affected"].update(r["bks"])
+        a = upd.get((e, int(r["src_part"])))
         s["lineage"].append(
             {
                 "src_part": int(r["src_part"]),
                 "offsets_applied": int(r["offsets_applied"]),
-                "rows_upserted": int(r["rows_upserted"]),
-                "rows_deleted": int(r["rows_deleted"]),
+                "rows_upserted": int(a["rows_upserted"]) if a else 0,
+                "rows_deleted": int(a["rows_deleted"]) if a else 0,
                 "watermark": r["watermark"].isoformat() if r["watermark"] else None,
             }
         )
+    for s in stats.values():
+        s["affected"] = sorted(s["affected"])
     return stats
 
 

@@ -1,0 +1,92 @@
+"""Incremental completeness emission — the reference's streaming heart.
+
+The TarSeekReader emits a record THE MOMENT its expected member set is
+complete, evicting its state immediately (tfdata/archive/seekreader.go:
+125-135, SameMembers check manager.go:33-43). The Spark-native restatement
+is a stateful streaming operator: group change events by conv_id, hold
+per-conversation state (which turn_idxs have arrived), and emit the
+assembled conversation as soon as all expected turns are present — with a
+processing-time timeout to flush stragglers (the watermark/late-data knob
+the reference sidesteps by reading a finite archive).
+
+Arrow-batched (`applyInPandasWithState`) per the no-per-row-Python rule;
+state is O(open conversations), evicted on emission exactly like
+DeleteRecord in the reference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+ASSEMBLED_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("n_turns", T.IntegerType(), False),
+        T.StructField("turns", T.ArrayType(T.StringType()), False),
+        T.StructField("complete", T.BooleanType(), False),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("turn_idxs", T.ArrayType(T.IntegerType()), True),
+        T.StructField("texts", T.ArrayType(T.StringType()), True),
+    ]
+)
+
+
+def assemble_conversations_stream(
+    changes: DataFrame,
+    expected_turns: int,
+    timeout_ms: int = 0,
+) -> DataFrame:
+    """Streaming conversation assembly: emits one row per conversation as
+    soon as `expected_turns` distinct turn_idx values have arrived (state
+    evicted on emit); with `timeout_ms`, stale incomplete conversations are
+    flushed with complete=false."""
+    import pandas as pd
+
+    def fn(key, pdfs, state: GroupState):
+        (conv_id,) = key
+        if state.hasTimedOut:
+            turn_idxs, texts = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "conv_id": [conv_id],
+                    "n_turns": [len(set(turn_idxs))],
+                    "turns": [[t for _, t in sorted(zip(turn_idxs, texts))]],
+                    "complete": [False],
+                }
+            )
+            return
+        turn_idxs, texts = (state.get if state.exists else ([], []))
+        seen = dict(zip(turn_idxs, texts))
+        for pdf in pdfs:
+            for ti, tx in zip(pdf["turn_idx"], pdf["text"]):
+                seen[int(ti)] = tx  # last processed wins (manager.go:57-63)
+        if len(seen) >= expected_turns:
+            state.remove()  # emit + evict (seekreader.go:133 DeleteRecord)
+            ordered = [seen[k] for k in sorted(seen)]
+            yield pd.DataFrame(
+                {
+                    "conv_id": [conv_id],
+                    "n_turns": [len(seen)],
+                    "turns": [ordered],
+                    "complete": [True],
+                }
+            )
+        else:
+            state.update((list(seen.keys()), [seen[k] for k in seen]))
+            if timeout_ms:
+                state.setTimeoutDuration(timeout_ms)
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout if timeout_ms else GroupStateTimeout.NoTimeout
+    )
+    return (
+        changes.groupBy("conv_id")
+        .applyInPandasWithState(fn, ASSEMBLED_SCHEMA, _STATE_SCHEMA, "append", timeout)
+    )

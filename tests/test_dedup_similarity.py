@@ -127,3 +127,35 @@ def test_multimodal_plumbing(spark):
     fs = frame_sample(media, every_nth=10)
     assert fs.filter(F.col("kind") != "video").count() == 0
     assert fs.filter(F.pmod(F.col("frame_idx"), F.lit(10)) != 0).count() == 0
+
+
+def test_pandas_udf_parity_with_jvm_exprs(spark):
+    """The Arrow-vectorized stages produce byte-identical results to the JVM
+    column expressions (north rule: vectorized pandas UDFs, no per-row
+    Python; reference analog: SampleF, transformation.go:128-142)."""
+    from go_tfdata_spark.functions.text_pandas import normalize_text_pd, token_count_pd
+
+    df = spark.createDataFrame(
+        [(1, "  Hello   WORLD "), (2, ""), (3, "a\tb\nc"), (4, "ONE")],
+        "id long, text string",
+    )
+    out = df.select(
+        "id",
+        (normalize_text_pd("text") == normalize_text(F.col("text"))).alias("norm_eq"),
+        (token_count_pd("text") == token_count(F.col("text")).cast("long")).alias("cnt_eq"),
+    ).collect()
+    assert all(r["norm_eq"] and r["cnt_eq"] for r in out)
+
+
+def test_repair_turn_order(spark):
+    from go_tfdata_spark.functions.text_pandas import repair_turn_order
+
+    rows = [
+        ("c1", 5, 30, "late"), ("c1", 1, 10, "first"), ("c1", 1, 20, "second"),
+        ("c2", 9, 1, "only"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, ts long, lsn long, text string")
+    out = {(r["conv_id"], r["turn_idx"]): r["text"]
+           for r in repair_turn_order(df).collect()}
+    assert out == {("c1", 0): "first", ("c1", 1): "second", ("c1", 2): "late",
+                   ("c2", 0): "only"}

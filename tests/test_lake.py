@@ -115,3 +115,30 @@ def test_empty_merge_is_noop(spark, tmp_path):
     v = t.current_version()
     t.merge_lww(spark.createDataFrame([], SCHEMA), ["conv_id", "turn_idx"], ["text"])
     assert t.current_version() == v
+
+
+def test_compaction_preserves_rows_and_reduces_files(spark, tmp_path):
+    t = _mk(spark, tmp_path, buckets=4)
+    for i in range(4):  # several commits -> multiple files per bucket
+        rows = [(f"c{j}", j, f"v{i}") for j in range(i * 10, i * 10 + 10)]
+        t.append(spark.createDataFrame(rows, SCHEMA))
+    before_files = len(t.snapshot().files)
+    before = sorted((r.conv_id, r.turn_idx, r.text) for r in t.read().collect())
+    v = t.current_version()
+    t.compact()
+    assert t.current_version() == v + 1
+    after = sorted((r.conv_id, r.turn_idx, r.text) for r in t.read().collect())
+    assert after == before
+    assert len(t.snapshot().files) < before_files
+    # time travel still sees the pre-compaction snapshot
+    assert t.read(version=v).count() == len(before)
+
+
+def test_compaction_purges_tombstones(spark, tmp_path):
+    phys = T.StructType(SCHEMA.fields + [T.StructField("_deleted", T.BooleanType(), True)])
+    t = LakeTable.create(spark, str(tmp_path / "tp"), phys, num_buckets=2)
+    t.append(spark.createDataFrame(
+        [("a", 1, "x", False), ("b", 2, None, True), ("c", 3, "z", False)], phys))
+    t.compact(purge_tombstones=True)
+    rows = t.read().collect()
+    assert {r.conv_id for r in rows} == {"a", "c"}
