@@ -332,6 +332,20 @@ def _q_props_sum(spark, sf):
     return ev.groupBy("user_id").agg(F.sum(k).alias("props_sum"))
 
 
+def _q_json_payload(spark, sf):
+    """Typed extraction from a JSON payload column (the engine's open-schema
+    ingest path: from_json == the reference's JSON-marshal fallback,
+    transformer.go:108-117, inverted)."""
+    ev = _t(spark, sf, "events")
+    parsed = ev.withColumn(
+        "k", F.from_json(F.col("props"), "k bigint")["k"]
+    )
+    return parsed.groupBy("event_type").agg(
+        F.sum("k").alias("k_sum"),
+        F.count(F.when(F.col("k").isNull(), 1)).alias("k_nulls"),
+    )
+
+
 def _q_union_by_name(spark, sf):
     """§2.8 set-op analog: stack two schema-divergent projections with
     unionByName(allowMissingColumns)."""
@@ -355,6 +369,16 @@ def _q_media_plumbing(spark, sf):
     )
     out = decode_and_featurize(media)
     return out.select("media_id", "kind", "width", "height", "n_bytes")
+
+
+def _q_lsh_candidates(spark, sf):
+    """LSH banded candidate generation (16 hashes, 4 bands): pairs that
+    collide in >=1 whole band. Oracle reproduces band-slice equality."""
+    from go_tfdata_spark.operators.dedup import lsh_candidate_pairs
+
+    docs = _t(spark, sf, "documents")
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=16, n=3)
+    return lsh_candidate_pairs(sigs, "doc_id", bands=4)
 
 
 def _q_grouping_sets(spark, sf):
@@ -418,8 +442,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "embedding_near_dups": _q_embedding_near_dups,
         "props_sum": _q_props_sum,
+        "json_payload": _q_json_payload,
         "union_by_name": _q_union_by_name,
         "media_plumbing": _q_media_plumbing,
+        "lsh_candidates": _q_lsh_candidates,
         "grouping_sets": _q_grouping_sets,
         "topk_orders": _q_topk_orders,
         "anti_join": _q_anti_join,
@@ -652,10 +678,21 @@ def oracle_sql() -> dict[str, str]:
           SELECT user_id, sum(regexp_extract(props, '[0-9]+', 0)::BIGINT)::BIGINT AS props_sum
           FROM events GROUP BY user_id
         """,
+        "json_payload": """
+          SELECT event_type,
+                 sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS k_sum,
+                 count(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 END) AS k_nulls
+          FROM events GROUP BY event_type
+        """,
         "union_by_name": """
           SELECT doc_id, lang, NULL AS source FROM documents WHERE doc_id < 100
           UNION ALL
           SELECT doc_id, NULL AS lang, source FROM documents WHERE doc_id >= 400
+        """,
+        "lsh_candidates": f"""
+          WITH sigs AS ({minhash_sig})
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND ({band_eq})
         """,
         "grouping_sets": """
           SELECT l_returnflag, l_linestatus,

@@ -44,7 +44,7 @@ HEADLINE = [
     "ann_topk",
 ]
 
-CDC_EVENTS = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", "10000000"))
+CDC_EVENTS = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", "20000000"))
 CDC_EPOCHS = int(os.environ.get("SPARK_GRAFT_CDC_EPOCHS", "2"))
 CDC_TEXT_CHARS = int(os.environ.get("SPARK_GRAFT_CDC_TEXT_CHARS", "256"))
 
@@ -234,14 +234,21 @@ def main() -> None:
     queries = run_headline(sf_dir, cpus)
     cdc = None
     if os.environ.get("SPARK_GRAFT_SKIP_CDC", "") != "1":
-        cdc = run_cdc_scaling(CDC_EVENTS, lo, hi)
-        cdc.update(run_calibration(lo, hi))
-        ceiling = cdc["machine_ceiling_efficiency"]
-        if ceiling:
-            cdc["efficiency_vs_machine_ceiling"] = round(
-                cdc["scaling_efficiency"] / ceiling, 3
-            )
-    total = round(sum(queries.values()) + (cdc["sec_hi"] if cdc else 0.0), 3)
+        # Never lose the bench line to a failed/overlong CDC leg.
+        try:
+            cdc = run_cdc_scaling(CDC_EVENTS, lo, hi)
+            try:
+                cdc.update(run_calibration(lo, hi))
+                ceiling = cdc["machine_ceiling_efficiency"]
+                if ceiling:
+                    cdc["efficiency_vs_machine_ceiling"] = round(
+                        cdc["scaling_efficiency"] / ceiling, 3
+                    )
+            except Exception as e:  # calibration is optional context
+                cdc["calibration_error"] = str(e)[:200]
+        except Exception as e:
+            cdc = {"error": str(e)[:200]}
+    total = round(sum(queries.values()) + (cdc.get("sec_hi", 0.0) if cdc else 0.0), 3)
     result = {
         "metric": "headline queries + CDC replay (hi-parallelism) wall time",
         "value": total,

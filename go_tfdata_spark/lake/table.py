@@ -471,6 +471,50 @@ class LakeTable:
         self._publish(m)
         return m
 
+    def vacuum(self, keep_versions: int = 10) -> dict:
+        """Physically delete data files no longer referenced by the last
+        `keep_versions` manifests (bounds time travel), plus files orphaned
+        by failed commits (written but never published — the crash window
+        the CAS protocol leaves behind harmlessly).
+
+        The ledger is preserved: expired manifests are compacted into the
+        oldest kept manifest's summary chain (committed_epochs keeps
+        answering correctly after vacuum) by copying their (job_id, epoch)
+        summaries into a `ledger` list on the oldest kept manifest file.
+        """
+        cur = self.current_version()
+        keep_from = max(1, (cur or 1) - keep_versions + 1)
+        kept_manifests = [m for m in self.history() if m.version >= keep_from]
+        expired = [m for m in self.history() if m.version < keep_from]
+
+        referenced = {f["path"] for m in kept_manifests for f in m.files}
+        removed_files = 0
+        data_root = os.path.join(self.path, _DATA_DIR)
+        for dirpath, _dirnames, filenames in os.walk(data_root):
+            for fn in filenames:
+                abs_p = os.path.join(dirpath, fn)
+                rel = os.path.relpath(abs_p, self.path)
+                if rel not in referenced and fn.endswith(".parquet"):
+                    os.unlink(abs_p)
+                    removed_files += 1
+        # fold expired ledger entries into the oldest kept manifest
+        ledger = []
+        for m in expired:
+            s = m.summary
+            if "epoch" in s:
+                ledger.append({"job_id": s.get("job_id"), "epoch": s["epoch"]})
+            ledger.extend(s.get("ledger", []))
+        if ledger and kept_manifests:
+            oldest = kept_manifests[0]
+            oldest.summary.setdefault("ledger", []).extend(ledger)
+            tmp = self._manifest_path(oldest.version) + f".tmp.{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                f.write(oldest.to_json())
+            os.replace(tmp, self._manifest_path(oldest.version))
+        for m in expired:
+            os.unlink(self._manifest_path(m.version))
+        return {"removed_files": removed_files, "removed_manifests": len(expired)}
+
     # ----------------------------------------------------------- exactly-once
     def committed_epochs(self, job_id: str) -> set[int]:
         """Epochs already applied by `job_id`, from the manifest chain.
@@ -485,4 +529,7 @@ class LakeTable:
             s = m.summary
             if s.get("job_id") == job_id and "epoch" in s:
                 out.add(int(s["epoch"]))
+            for entry in s.get("ledger", []):  # folded-in by vacuum()
+                if entry.get("job_id") == job_id:
+                    out.add(int(entry["epoch"]))
         return out

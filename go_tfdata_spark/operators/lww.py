@@ -98,8 +98,18 @@ def lww_latest(
     types = {f.name: f.dataType for f in df.schema.fields}
     payload = [c for c in df.columns if c not in key_cols]
 
+    # Strategy economics (measured at 40M rows): the encoded string fold
+    # wins 3-4x for WIDE payloads (long text: one cheap binary compare vs
+    # struct comparators over wide rows), but loses ~3x for NARROW payloads
+    # (to_json + string building dominates). auto picks encoded only when
+    # the payload carries variable-width columns.
+    wide = any(
+        isinstance(types[c], (T.StringType, T.BinaryType, T.ArrayType, T.MapType, T.StructType))
+        for c in payload
+    )
     use_encoded = strategy == "encoded" or (
         strategy == "auto"
+        and wide
         and all(_encodable_order(types[c]) for c in order_cols)
         and all(_json_safe(types[c]) for c in payload)
     )

@@ -33,6 +33,11 @@ _STATE_SCHEMA = T.StructType(
     [
         T.StructField("turn_idxs", T.ArrayType(T.IntegerType()), True),
         T.StructField("texts", T.ArrayType(T.StringType()), True),
+        # completion tombstone: the reference reads a finite archive where
+        # each member arrives once (seekreader.go:125-135 can evict state on
+        # emit); a CDC stream can deliver more events for an already-emitted
+        # conversation, which must NOT re-emit it.
+        T.StructField("done", T.BooleanType(), True),
     ]
 )
 
@@ -51,24 +56,34 @@ def assemble_conversations_stream(
     def fn(key, pdfs, state: GroupState):
         (conv_id,) = key
         if state.hasTimedOut:
-            turn_idxs, texts = state.get
+            turn_idxs, texts, done = state.get
             state.remove()
-            yield pd.DataFrame(
-                {
-                    "conv_id": [conv_id],
-                    "n_turns": [len(set(turn_idxs))],
-                    "turns": [[t for _, t in sorted(zip(turn_idxs, texts))]],
-                    "complete": [False],
-                }
-            )
+            if not done:
+                yield pd.DataFrame(
+                    {
+                        "conv_id": [conv_id],
+                        "n_turns": [len(set(turn_idxs))],
+                        "turns": [[t for _, t in sorted(zip(turn_idxs, texts))]],
+                        "complete": [False],
+                    }
+                )
             return
-        turn_idxs, texts = (state.get if state.exists else ([], []))
+        turn_idxs, texts, done = (state.get if state.exists else ([], [], False))
+        if done:
+            for _ in pdfs:  # drain; already emitted exactly once
+                pass
+            return
         seen = dict(zip(turn_idxs, texts))
         for pdf in pdfs:
             for ti, tx in zip(pdf["turn_idx"], pdf["text"]):
                 seen[int(ti)] = tx  # last processed wins (manager.go:57-63)
         if len(seen) >= expected_turns:
-            state.remove()  # emit + evict (seekreader.go:133 DeleteRecord)
+            # emit once; keep a tombstone so later events can't re-emit.
+            # The payload state is dropped (bounded memory, like
+            # DeleteRecord) — only the done flag remains.
+            state.update(([], [], True))
+            if timeout_ms:
+                state.setTimeoutDuration(timeout_ms)
             ordered = [seen[k] for k in sorted(seen)]
             yield pd.DataFrame(
                 {
@@ -79,7 +94,7 @@ def assemble_conversations_stream(
                 }
             )
         else:
-            state.update((list(seen.keys()), [seen[k] for k in seen]))
+            state.update((list(seen.keys()), [seen[k] for k in seen], False))
             if timeout_ms:
                 state.setTimeoutDuration(timeout_ms)
 

@@ -142,3 +142,25 @@ def test_compaction_purges_tombstones(spark, tmp_path):
     t.compact(purge_tombstones=True)
     rows = t.read().collect()
     assert {r.conv_id for r in rows} == {"a", "c"}
+
+
+def test_vacuum_removes_old_versions_keeps_ledger(spark, tmp_path):
+    t = _mk(spark, tmp_path, buckets=2)
+    for i in range(5):
+        t.append(spark.createDataFrame([(f"c{i}", i, "x")], SCHEMA),
+                 summary={"job_id": "j", "epoch": i})
+    n_rows = t.read().count()
+    stats = t.vacuum(keep_versions=2)
+    assert stats["removed_manifests"] > 0
+    # current state unchanged
+    assert t.read().count() == n_rows
+    # ledger survives vacuum (exactly-once across maintenance)
+    assert t.committed_epochs("j") == {0, 1, 2, 3, 4}
+    # orphaned files (unpublished commit) get cleaned
+    import os
+    m = t._next_manifest({})
+    t._write_data(spark.createDataFrame([("zz", 99, "orphan")], SCHEMA), m)  # never published
+    before = t.read().count()
+    stats2 = t.vacuum(keep_versions=2)
+    assert stats2["removed_files"] > 0
+    assert t.read().count() == before

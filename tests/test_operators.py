@@ -146,3 +146,30 @@ def test_pipeline_fluent(spark, tmp_path):
     assert ran == [2]
     out = p.plan()
     assert "image" in out.columns
+
+
+def test_pipeline_to_lake_merge(spark, tmp_path):
+    """Full fluent path: source -> transform stages -> lake merge sink."""
+    from pyspark.sql import types as T
+
+    from go_tfdata_spark.lake.table import LakeTable
+
+    phys = T.StructType([
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("v", T.LongType()),
+    ])
+    table = LakeTable.create(spark, str(tmp_path / "pl"), phys, num_buckets=2)
+    src = spark.createDataFrame(
+        [("c1", 0, " Hello ", 1), ("c1", 0, "world", 2), ("c2", 1, "x", 1)], phys
+    )
+    (
+        Pipeline(spark)
+        .from_df(src)
+        .transform(lambda d: d.withColumn("text", F.trim(F.col("text"))))
+        .to_lake_merge(table, ["conv_id", "turn_idx"], ["v"])
+        .run()
+    )
+    got = {(r.conv_id, r.turn_idx): r.text for r in table.read().collect()}
+    assert got == {("c1", 0): "world", ("c2", 1): "x"}
