@@ -119,11 +119,19 @@ def cdc_replay_child(cores: int, n_events: int) -> None:
             delete_frac=0.05, late_frac=0.1, skew=1.0, num_partitions=cores * 2,
         )
         replay(warm_table, warm, job_id="warm")
+        mode = os.environ.get("SPARK_GRAFT_CDC_MODE", "auto")
         t0 = time.time()
-        replay(table, log, job_id="bench", collect_lineage=True)
+        if mode == "mor":
+            # merge-on-read ingest + one final compaction (resolved end
+            # state, equivalent to the COW result) — the streaming-upsert
+            # shape: per-epoch cost O(batch), amortized resolution.
+            replay(table, log, job_id="bench", collect_lineage=True, merge_strategy="mor")
+            table.compact()
+        else:
+            replay(table, log, job_id="bench", collect_lineage=True)
         dt = time.time() - t0
     spark.stop()
-    print(json.dumps({"cores": cores, "sec": dt, "events_per_sec": n_events / dt}))
+    print(json.dumps({"cores": cores, "sec": dt, "mode": mode, "events_per_sec": n_events / dt}))
 
 
 def _cpu_stat():

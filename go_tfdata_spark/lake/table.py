@@ -68,9 +68,14 @@ class Manifest:
     schema: T.StructType
     bucket_by: str
     num_buckets: int
-    files: list[dict]  # {"path": rel_path, "bucket": int | None, "rows": int | None}
+    files: list[dict]  # {"path": rel, "bucket": int | None, "delta": bool?}
     summary: dict
     timestamp: float
+    # merge-on-read resolution identity (set at create time when the table
+    # is a keyed LWW table): reads fold (base ∪ delta) rows per key_cols by
+    # order_cols, exactly like Iceberg MOR applies equality deletes.
+    key_cols: list[str] | None = None
+    order_cols: list[str] | None = None
 
     def to_json(self) -> str:
         return json.dumps(
@@ -83,6 +88,8 @@ class Manifest:
                 "files": self.files,
                 "summary": self.summary,
                 "timestamp": self.timestamp,
+                "key_cols": self.key_cols,
+                "order_cols": self.order_cols,
             }
         )
 
@@ -98,7 +105,13 @@ class Manifest:
             files=d["files"],
             summary=d.get("summary", {}),
             timestamp=d.get("timestamp", 0.0),
+            key_cols=d.get("key_cols"),
+            order_cols=d.get("order_cols"),
         )
+
+    @property
+    def has_deltas(self) -> bool:
+        return any(f.get("delta") for f in self.files)
 
 
 class CommitConflict(Exception):
@@ -120,6 +133,8 @@ class LakeTable:
         bucket_by: str = "conv_id",
         num_buckets: int = 16,
         exist_ok: bool = False,
+        key_cols: list[str] | None = None,
+        order_cols: list[str] | None = None,
     ) -> "LakeTable":
         t = cls(spark, path)
         os.makedirs(os.path.join(t.path, _MANIFEST_DIR), exist_ok=True)
@@ -137,6 +152,8 @@ class LakeTable:
             files=[],
             summary={"operation": "create"},
             timestamp=time.time(),
+            key_cols=key_cols,
+            order_cols=order_cols,
         )
         t._publish(m)
         return t
@@ -198,22 +215,38 @@ class LakeTable:
             files=list(cur.files),
             summary=summary,
             timestamp=time.time(),
+            key_cols=cur.key_cols,
+            order_cols=cur.order_cols,
         )
 
     # ---------------------------------------------------------------- reads
     def schema(self) -> T.StructType:
         return self.snapshot().schema
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(self, version: int | None = None, resolve: bool = True) -> DataFrame:
+        """Snapshot read. If the snapshot contains merge-on-read delta files
+        and the table declares (key_cols, order_cols), the read RESOLVES:
+        one LWW fold picks the winning row per key across base + deltas —
+        the engine's equivalent of Iceberg MOR equality-delete application.
+        `resolve=False` returns raw physical rows (all versions of a key)."""
         m = self.snapshot(version)
-        return self._read_files(m, m.files)
+        return self._maybe_resolve(m, self._read_files(m, m.files), resolve)
 
-    def read_buckets(self, buckets: list[int], version: int | None = None) -> DataFrame:
+    def read_buckets(
+        self, buckets: list[int], version: int | None = None, resolve: bool = True
+    ) -> DataFrame:
         """Bucket-pruned scan: only files whose bucket is in `buckets`."""
         m = self.snapshot(version)
         wanted = set(buckets)
         files = [f for f in m.files if f.get("bucket") in wanted]
-        return self._read_files(m, files)
+        return self._maybe_resolve(m, self._read_files(m, files), resolve)
+
+    def _maybe_resolve(self, m: Manifest, df: DataFrame, resolve: bool) -> DataFrame:
+        if resolve and m.has_deltas and m.key_cols and m.order_cols:
+            from go_tfdata_spark.operators.lww import lww_latest
+
+            return lww_latest(df, key_cols=m.key_cols, order_cols=m.order_cols)
+        return df
 
     def _read_files(self, m: Manifest, files: list[dict]) -> DataFrame:
         if not files:
@@ -224,7 +257,9 @@ class LakeTable:
         return self.spark.read.schema(m.schema).parquet(*paths)
 
     # --------------------------------------------------------------- writes
-    def _write_data(self, df: DataFrame, m: Manifest, presharded: bool = False) -> list[dict]:
+    def _write_data(
+        self, df: DataFrame, m: Manifest, presharded: bool = False, delta: bool = False
+    ) -> list[dict]:
         """Write df (bucketed) under a fresh uuid dir; return file entries.
 
         `presharded=True` means the caller guarantees each input partition
@@ -256,7 +291,10 @@ class LakeTable:
             b = int(bdir.split("=", 1)[1])
             for fn in sorted(os.listdir(os.path.join(abs_dir, bdir))):
                 if fn.endswith(".parquet"):
-                    entries.append({"path": f"{commit_dir}/{bdir}/{fn}", "bucket": b})
+                    e = {"path": f"{commit_dir}/{bdir}/{fn}", "bucket": b}
+                    if delta:
+                        e["delta"] = True
+                    entries.append(e)
         return entries
 
     def append(self, df: DataFrame, summary: dict | None = None) -> Manifest:
@@ -268,6 +306,21 @@ class LakeTable:
     def overwrite(self, df: DataFrame, summary: dict | None = None) -> Manifest:
         m = self._next_manifest({"operation": "overwrite", **(summary or {})})
         m.files = self._write_data(self._conform(df, m.schema), m)
+        self._publish(m)
+        return m
+
+    def append_delta(self, df: DataFrame, summary: dict | None = None) -> Manifest:
+        """Merge-on-read write: append the (already LWW-folded) change batch
+        as DELTA files — zero target scan, zero rewrite, write volume
+        O(batch). Reads resolve per key via the table's (key_cols,
+        order_cols); `compact()` folds deltas back into base files. This is
+        the engine's Iceberg-MOR path: the COW `merge_lww` gives
+        read-optimized tables, `append_delta` gives write-optimized ingest —
+        the standard trade for streaming upserts."""
+        if not (self.snapshot().key_cols and self.snapshot().order_cols):
+            raise ValueError("append_delta requires key_cols/order_cols on the table")
+        m = self._next_manifest({"operation": "append-delta", **(summary or {})})
+        m.files = m.files + self._write_data(self._conform(df, m.schema), m, delta=True)
         self._publish(m)
         return m
 
@@ -458,7 +511,11 @@ class LakeTable:
             b
             for b, fs in by_bucket.items()
             if (buckets is None or b in set(buckets))
-            and (len(fs) > max_files_per_bucket or purge_tombstones)
+            and (
+                len(fs) > max_files_per_bucket
+                or purge_tombstones
+                or any(f.get("delta") for f in fs)  # resolve MOR deltas
+            )
         ]
         if not todo:
             return self.snapshot()

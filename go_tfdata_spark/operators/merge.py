@@ -56,7 +56,10 @@ def create_transcripts_table(
     spark, path: str, user_schema: T.StructType, num_buckets: int = 16
 ) -> LakeTable:
     return LakeTable.create(
-        spark, path, physical_schema(user_schema), bucket_by="conv_id", num_buckets=num_buckets
+        spark, path, physical_schema(user_schema), bucket_by="conv_id",
+        num_buckets=num_buckets,
+        key_cols=list(KEY_COLUMNS),
+        order_cols=["ts", "_lsn", "_src_part"],
     )
 
 
@@ -267,6 +270,7 @@ def apply_changes(
     else:
         lineage = _lineage_rows(changes, key_cols, order_cols) if collect_lineage else []
         affected = None
+    summary = {"job_id": job_id, "epoch": int(epoch), "lineage": lineage}
     strategy = merge_strategy
     if strategy == "auto":
         # Sparse batches (few distinct keys) -> broadcast passthrough merge;
@@ -274,14 +278,19 @@ def apply_changes(
         # comes free from the lineage aggregate when collected.
         batch_keys = sum(r["rows_upserted"] + r["rows_deleted"] for r in lineage) if lineage else None
         strategy = "broadcast" if (batch_keys is not None and batch_keys < 1_000_000) else "shuffle"
-    m = table.merge_lww(
-        folded,
-        key_cols=key_cols,
-        order_cols=["ts", "_lsn", "_src_part"],
-        summary={"job_id": job_id, "epoch": int(epoch), "lineage": lineage},
-        strategy=strategy,
-        affected=affected,
-    )
+    if strategy == "mor":
+        # merge-on-read: append the folded batch as delta files (write
+        # O(batch), no target scan); reads/compaction resolve LWW.
+        m = table.append_delta(folded, summary=summary)
+    else:
+        m = table.merge_lww(
+            folded,
+            key_cols=key_cols,
+            order_cols=["ts", "_lsn", "_src_part"],
+            summary=summary,
+            strategy=strategy,
+            affected=affected,
+        )
     return ApplyResult(job_id, epoch, skipped=False, version=m.version, lineage=lineage)
 
 

@@ -117,3 +117,33 @@ def test_lineage_metrics(spark, tmp_path):
     assert lm.offsets_applied.sum() == 1000
     assert set(lm.epoch.unique()) == {0, 1}
     assert lm.src_part.nunique() == 4
+
+
+def test_mor_replay_matches_oracle_and_compacts(spark, tmp_path):
+    """Merge-on-read mode: epochs append delta files (no target rewrite);
+    reads resolve LWW; compaction folds deltas into base with identical
+    final state. Mixed-mode (MOR epochs then a COW epoch) also correct."""
+    changes = synthetic_changes(spark, n_events=2000, n_epochs=3, delete_frac=0.1, late_frac=0.2)
+    table = create_transcripts_table(spark, str(tmp_path / "mor"), TRANSCRIPTS_SCHEMA, num_buckets=4)
+    replay(table, changes, job_id="j", merge_strategy="mor")
+    assert table.snapshot().has_deltas
+    oracle = sequential_apply(changes.toPandas(), PAYLOAD)
+    assert_final_state_equal(read_table(table), oracle)
+    # ledger works in MOR mode
+    r = apply_changes(table, changes.filter("epoch = 0"), job_id="j", epoch=0, merge_strategy="mor")
+    assert r.skipped
+    # compaction resolves deltas; state unchanged; raw row count shrinks to resolved
+    table.compact()
+    assert not table.snapshot().has_deltas
+    assert_final_state_equal(read_table(table), oracle)
+
+
+def test_mixed_mor_then_cow(spark, tmp_path):
+    changes = synthetic_changes(spark, n_events=1500, n_epochs=3, delete_frac=0.1, seed=11)
+    table = create_transcripts_table(spark, str(tmp_path / "mix"), TRANSCRIPTS_SCHEMA, num_buckets=4)
+    apply_changes(table, changes.filter("epoch = 0"), job_id="j", epoch=0, merge_strategy="mor")
+    apply_changes(table, changes.filter("epoch = 1"), job_id="j", epoch=1, merge_strategy="mor")
+    # COW merge over a delta-carrying table must resolve correctly
+    apply_changes(table, changes.filter("epoch = 2"), job_id="j", epoch=2, merge_strategy="shuffle")
+    oracle = sequential_apply(changes.toPandas(), PAYLOAD)
+    assert_final_state_equal(read_table(table), oracle)
