@@ -194,8 +194,9 @@ def _q_where_key_value(spark, sf):
 
 def _q_agg_pricing_summary(spark, sf):
     li = _t(spark, sf, "lineitem")
+    # epoch-seconds comparison: independent of the driver session's TZ
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("2024-09-01"))
+        li.filter(F.unix_timestamp("l_shipdate") <= F.lit(1725148800))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
@@ -346,6 +347,48 @@ def _q_json_payload(spark, sf):
     )
 
 
+def _q_events_per_day(spark, sf):
+    """Event-time rollup: tumbling 1-day (UTC) windows per type. Day is
+    derived by epoch arithmetic so the result is independent of the driver
+    session's timezone."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(
+            F.floor(F.unix_timestamp("ts") / 86400).alias("day_num"),
+            F.col("event_type"),
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("value_sum"))
+    )
+
+
+def _q_sessionize(spark, sf):
+    """Gap-based sessionization (30-min inactivity) per user: session id =
+    cumulative count of gap-breaks — the standard window composition."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf, "events").filter(F.col("user_id") < 30)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    brk = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.withColumn("brk", brk).withColumn(
+        "session_id", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("first_event"),
+    )
+
+
+def _q_vector_norms(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    from go_tfdata_spark.functions.vectors import l2_norm
+
+    return emb.select(
+        "vec_id",
+        F.round(l2_norm(F.col("embedding").cast("array<double>")), 4).alias("l2"),
+    )
+
+
 def _q_union_by_name(spark, sf):
     """§2.8 set-op analog: stack two schema-divergent projections with
     unionByName(allowMissingColumns)."""
@@ -443,6 +486,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": _q_embedding_near_dups,
         "props_sum": _q_props_sum,
         "json_payload": _q_json_payload,
+        "events_per_day": _q_events_per_day,
+        "sessionize": _q_sessionize,
+        "vector_norms": _q_vector_norms,
         "union_by_name": _q_union_by_name,
         "media_plumbing": _q_media_plumbing,
         "lsh_candidates": _q_lsh_candidates,
@@ -594,7 +640,7 @@ def oracle_sql() -> dict[str, str]:
                  round(avg(l_quantity), 4) AS avg_qty,
                  count(*) AS count_order
           FROM lineitem
-          WHERE l_shipdate <= TIMESTAMP '2024-09-01 00:00:00'
+          WHERE epoch(l_shipdate) <= 1725148800
           GROUP BY l_returnflag, l_linestatus
         """,
         "filtered_revenue": """
@@ -683,6 +729,34 @@ def oracle_sql() -> dict[str, str]:
                  sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS k_sum,
                  count(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 END) AS k_nulls
           FROM events GROUP BY event_type
+        """,
+        "events_per_day": """
+          SELECT floor(epoch(ts) / 86400)::BIGINT AS day_num, event_type,
+                 count(*) AS n, round(sum(value), 2) AS value_sum
+          FROM events GROUP BY 1, 2
+        """,
+        "sessionize": """
+          WITH g AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                        THEN 1 ELSE 0 END AS brk
+            FROM events WHERE user_id < 30
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+          ), s AS (
+            SELECT user_id, event_id,
+                   sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM g
+          )
+          SELECT user_id, session_id::BIGINT AS session_id,
+                 count(*) AS n_events, min(event_id) AS first_event
+          FROM s GROUP BY user_id, session_id
+        """,
+        "vector_norms": """
+          SELECT vec_id,
+                 round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4) AS l2
+          FROM embeddings
         """,
         "union_by_name": """
           SELECT doc_id, lang, NULL AS source FROM documents WHERE doc_id < 100

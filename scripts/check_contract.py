@@ -37,7 +37,11 @@ def rowset(cols, rows):
 
 
 def main(sf_dir: str, only: list[str]) -> int:
-    spark = get_spark("contract-check", cores=8, shuffle_partitions=8)
+    tz = os.environ.get("SPARK_GRAFT_TZ")  # simulate a non-UTC driver session
+    spark = get_spark(
+        "contract-check", cores=8, shuffle_partitions=8,
+        extra_conf={"spark.sql.session.timeZone": tz} if tz else {},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:
