@@ -121,11 +121,14 @@ def cdc_replay_child(cores: int, n_events: int) -> None:
         replay(warm_table, warm, job_id="warm")
         mode = os.environ.get("SPARK_GRAFT_CDC_MODE", "auto")
         t0 = time.time()
-        if mode == "mor":
+        if mode.startswith("mor"):
             # merge-on-read ingest + one final compaction (resolved end
             # state, equivalent to the COW result) — the streaming-upsert
             # shape: per-epoch cost O(batch), amortized resolution.
-            replay(table, log, job_id="bench", collect_lineage=True, merge_strategy="mor")
+            # "mor-parallel": epochs apply concurrently (they commute).
+            par = 4 if mode == "mor-parallel" else 1
+            replay(table, log, job_id="bench", collect_lineage=True,
+                   merge_strategy="mor", parallel_epochs=par)
             table.compact()
         else:
             replay(table, log, job_id="bench", collect_lineage=True)

@@ -309,20 +309,35 @@ class LakeTable:
         self._publish(m)
         return m
 
-    def append_delta(self, df: DataFrame, summary: dict | None = None) -> Manifest:
+    def append_delta(
+        self, df: DataFrame, summary: dict | None = None, max_retries: int = 20
+    ) -> Manifest:
         """Merge-on-read write: append the (already LWW-folded) change batch
         as DELTA files — zero target scan, zero rewrite, write volume
         O(batch). Reads resolve per key via the table's (key_cols,
         order_cols); `compact()` folds deltas back into base files. This is
         the engine's Iceberg-MOR path: the COW `merge_lww` gives
         read-optimized tables, `append_delta` gives write-optimized ingest —
-        the standard trade for streaming upserts."""
-        if not (self.snapshot().key_cols and self.snapshot().order_cols):
+        the standard trade for streaming upserts.
+
+        Delta appends are pure file ADDITIONS and LWW resolution is
+        commutative, so concurrent appenders are safe: on a CAS conflict the
+        loser re-reads the snapshot and republishes the SAME already-written
+        files against the new parent (no data rewrite in the retry loop).
+        This is what lets a replay apply epochs in parallel."""
+        snap = self.snapshot()
+        if not (snap.key_cols and snap.order_cols):
             raise ValueError("append_delta requires key_cols/order_cols on the table")
         m = self._next_manifest({"operation": "append-delta", **(summary or {})})
-        m.files = m.files + self._write_data(self._conform(df, m.schema), m, delta=True)
-        self._publish(m)
-        return m
+        entries = self._write_data(self._conform(df, m.schema), m, delta=True)
+        for _ in range(max_retries):
+            m.files = m.files + entries
+            try:
+                self._publish(m)
+                return m
+            except CommitConflict:
+                m = self._next_manifest({"operation": "append-delta", **(summary or {})})
+        raise CommitConflict(f"append_delta lost {max_retries} CAS races")
 
     def _conform(self, df: DataFrame, schema: T.StructType) -> DataFrame:
         """Project df to the table schema: missing columns -> NULL (additive

@@ -300,6 +300,7 @@ def replay(
     job_id: str,
     epoch_col: str = "epoch",
     collect_lineage: bool = True,
+    parallel_epochs: int = 1,
     **apply_kwargs,
 ) -> list[ApplyResult]:
     """Batch-replay driver: apply a change log epoch by epoch (the reference's
@@ -326,18 +327,29 @@ def replay(
             for r in changes.select(epoch_col).distinct().collect()
         }
     )
-    results = []
-    for e in sorted(stats):
+    def _one(e: int) -> ApplyResult:
         batch = changes.filter(F.col(epoch_col) == F.lit(e))
-        results.append(
-            apply_changes(
-                table, batch, job_id, int(e),
-                collect_lineage=collect_lineage,
-                precomputed=stats[e],
-                **apply_kwargs,
-            )
+        return apply_changes(
+            table, batch, job_id, int(e),
+            collect_lineage=collect_lineage,
+            precomputed=stats[e],
+            **apply_kwargs,
         )
-    return results
+
+    epochs = sorted(stats)
+    if parallel_epochs > 1:
+        # Only merge-on-read epochs commute (pure file additions + LWW
+        # resolution); COW merges rewrite shared buckets and must serialize.
+        if apply_kwargs.get("merge_strategy") != "mor":
+            raise ValueError("parallel_epochs requires merge_strategy='mor'")
+        from concurrent.futures import ThreadPoolExecutor
+
+        # Spark job submission is thread-safe; concurrent epochs keep the
+        # cluster saturated and overlap per-epoch fixed costs. Exactly-once
+        # is preserved: each epoch is its own CAS-retried ledger commit.
+        with ThreadPoolExecutor(max_workers=parallel_epochs) as ex:
+            return list(ex.map(_one, epochs))
+    return [_one(e) for e in epochs]
 
 
 def lineage_metrics(table: LakeTable, job_id: str | None = None) -> DataFrame:

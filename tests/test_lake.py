@@ -164,3 +164,23 @@ def test_vacuum_removes_old_versions_keeps_ledger(spark, tmp_path):
     stats2 = t.vacuum(keep_versions=2)
     assert stats2["removed_files"] > 0
     assert t.read().count() == before
+
+
+def test_concurrent_writers_one_wins(spark, tmp_path):
+    """Optimistic concurrency: two writers committing against the same
+    parent version -> exactly one succeeds, the other gets CommitConflict
+    and can retry against the new snapshot (no data corruption either way)."""
+    t = _mk(spark, tmp_path, buckets=2)
+    t.append(spark.createDataFrame([("a", 1, "x")], SCHEMA))
+    # both writers prepare manifests from the same snapshot
+    m1 = t._next_manifest({"writer": 1})
+    m2 = t._next_manifest({"writer": 2})
+    m1.files = m1.files + t._write_data(spark.createDataFrame([("b", 2, "y")], SCHEMA), m1)
+    m2.files = m2.files + t._write_data(spark.createDataFrame([("c", 3, "z")], SCHEMA), m2)
+    t._publish(m1)
+    with pytest.raises(CommitConflict):
+        t._publish(m2)
+    # loser retries through the public API against the fresh snapshot
+    t.append(spark.createDataFrame([("c", 3, "z")], SCHEMA))
+    rows = {r.conv_id for r in t.read().collect()}
+    assert rows == {"a", "b", "c"}

@@ -147,3 +147,17 @@ def test_mixed_mor_then_cow(spark, tmp_path):
     apply_changes(table, changes.filter("epoch = 2"), job_id="j", epoch=2, merge_strategy="shuffle")
     oracle = sequential_apply(changes.toPandas(), PAYLOAD)
     assert_final_state_equal(read_table(table), oracle)
+
+
+def test_parallel_mor_replay_matches_oracle(spark, tmp_path):
+    """Concurrent epoch application (MOR commutes): same final state,
+    every epoch committed exactly once despite CAS races."""
+    changes = synthetic_changes(spark, n_events=2400, n_epochs=6, delete_frac=0.1, late_frac=0.2)
+    table = create_transcripts_table(spark, str(tmp_path / "pmor"), TRANSCRIPTS_SCHEMA, num_buckets=4)
+    results = replay(table, changes, job_id="j", merge_strategy="mor", parallel_epochs=4)
+    assert len(results) == 6 and not any(r.skipped for r in results)
+    assert table.committed_epochs("j") == set(range(6))
+    oracle = sequential_apply(changes.toPandas(), PAYLOAD)
+    assert_final_state_equal(read_table(table), oracle)
+    table.compact()
+    assert_final_state_equal(read_table(table), oracle)
