@@ -69,6 +69,21 @@ def read_table(table: LakeTable) -> DataFrame:
     return df.filter(~F.coalesce(F.col("_deleted"), F.lit(False))).drop(*META_COLUMNS)
 
 
+def validate_changes(
+    changes: DataFrame,
+    key_cols: list[str] = list(KEY_COLUMNS),
+    order_cols: list[str] = list(LWW_ORDER_COLUMNS),
+) -> None:
+    """Fail fast with a precise error on malformed change batches (the
+    reference's invalid-input discipline, test/tar_test.go:93-121)."""
+    missing = [c for c in [*key_cols, *order_cols, "op"] if c not in changes.columns]
+    if missing:
+        raise ValueError(
+            f"change batch is missing required columns {missing}; "
+            f"have {changes.columns}"
+        )
+
+
 def fold_changes(
     changes: DataFrame,
     key_cols: list[str] = list(KEY_COLUMNS),
@@ -248,6 +263,7 @@ def apply_changes(
     hot-key salting) -> tombstone fold -> order-conditional MERGE, with
     lineage embedded in the atomic commit.
     """
+    validate_changes(changes, key_cols, order_cols)
     if epoch in table.committed_epochs(job_id):
         return ApplyResult(job_id, epoch, skipped=True, version=None, lineage=[])
 

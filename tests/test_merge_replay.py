@@ -161,3 +161,12 @@ def test_parallel_mor_replay_matches_oracle(spark, tmp_path):
     assert_final_state_equal(read_table(table), oracle)
     table.compact()
     assert_final_state_equal(read_table(table), oracle)
+
+
+def test_invalid_batch_fails_fast(spark, tmp_path):
+    """Malformed batches raise a precise error before any work (the
+    reference's invalid-input discipline, tar_test.go:93-121)."""
+    table = create_transcripts_table(spark, str(tmp_path / "inv"), TRANSCRIPTS_SCHEMA, num_buckets=2)
+    bad = spark.createDataFrame([("c1", 0)], "conv_id string, turn_idx int")
+    with pytest.raises(ValueError, match="missing required columns"):
+        apply_changes(table, bad, job_id="j", epoch=0)

@@ -92,3 +92,74 @@ def test_stream_checkpoint_loss_still_exactly_once(spark, tmp_path):
     q2.awaitTermination(120)
     assert table.current_version() == v
     assert read_table(table).count() == n
+
+
+def test_streaming_schema_evolution_across_restart(spark, tmp_path):
+    """Real CDC shape: the stream starts on the v1 schema; after a restart
+    the source carries additive v2 columns (tool_args, meta). The table must
+    evolve transactionally and keep exactly-once across the restart."""
+    from pyspark.sql import functions as F
+
+    from go_tfdata_spark.model import CHANGES_V2_SCHEMA
+    from go_tfdata_spark.sources.changes import with_v2_columns
+
+    all_changes = synthetic_changes(spark, n_events=1200, n_epochs=2, delete_frac=0.05)
+    v1 = all_changes.filter("epoch = 0")
+    v2 = with_v2_columns(all_changes.filter("epoch = 1"))
+    table = create_transcripts_table(spark, str(tmp_path / "t"), TRANSCRIPTS_SCHEMA, num_buckets=4)
+
+    # phase 1: v1 files, v1 reader schema
+    write_change_log(v1, str(tmp_path / "log1"), by_epoch=False)
+    q = start_ingest(
+        table, read_change_stream(spark, str(tmp_path / "log1"), schema=v1.schema),
+        job_id="evo", checkpoint_dir=str(tmp_path / "ckpt1"),
+    )
+    q.awaitTermination(120)
+
+    # restart: new source dir with v2 schema (tool_args, meta)
+    write_change_log(v2, str(tmp_path / "log2"), by_epoch=False)
+    q2 = start_ingest(
+        table, read_change_stream(spark, str(tmp_path / "log2"), schema=CHANGES_V2_SCHEMA),
+        job_id="evo2", checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    q2.awaitTermination(120)
+
+    df = read_table(table)
+    assert {"tool_args", "meta"} <= set(df.columns)
+    oracle = sequential_apply(all_changes.toPandas(), PAYLOAD)
+    assert_final_state_equal(df.select("conv_id", "turn_idx", *PAYLOAD), oracle)
+    assert df.filter(F.col("meta").isNotNull()).count() > 0
+
+
+def test_watermarked_window_counts(spark, tmp_path):
+    """Watermarked tumbling windows over the change stream: closed windows
+    emit once (append mode); totals match a batch computation of the same
+    windows for all but the still-open tail."""
+    from go_tfdata_spark.streaming.windows import windowed_change_counts
+
+    changes = synthetic_changes(spark, n_events=2000, n_epochs=2, delete_frac=0.1)
+    write_change_log(changes, str(tmp_path / "log"))
+    stream = read_change_stream(spark, str(tmp_path / "log"), max_files_per_trigger=2)
+    out = windowed_change_counts(stream, "10 minutes", "5 minutes")
+    q = (
+        out.writeStream.format("memory").queryName("wincounts")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["op"]): r["n_changes"]
+        for r in spark.sql("SELECT * FROM wincounts").collect()
+    }
+    # batch reference over the same data (only assert emitted windows
+    # match batch values; the still-open tail window may be unemitted)
+    import pyspark.sql.functions as F
+    batch = (
+        changes.groupBy(F.window("ts", "10 minutes").alias("win"), "op")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("s"), "op", "n")
+    )
+    ref = {(r["s"], r["op"]): r["n"] for r in batch.collect()}
+    assert got  # something emitted
+    for k, v in got.items():
+        assert ref[k] == v
