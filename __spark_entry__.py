@@ -424,6 +424,28 @@ def _q_lsh_candidates(spark, sf):
     return lsh_candidate_pairs(sigs, "doc_id", bands=4)
 
 
+def _q_hot_keys(spark, sf):
+    """Skew diagnostic: top-10 hottest user_ids (drives salting decisions)."""
+    from go_tfdata_spark.operators.skew import hot_keys
+
+    ev = _t(spark, sf, "events")
+    return hot_keys(ev, ["user_id"], top=10)
+
+
+def _q_ann_ivf_topk(spark, sf):
+    """IVF approximate index probing ALL cells == exact search: validates
+    the scale-path ANN plumbing against the same oracle as brute force."""
+    from go_tfdata_spark.operators.similarity import IVFIndex
+
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    idx = IVFIndex(emb, "embedding", "vec_id", ncells=8)
+    out = idx.topk(qv, k=10, nprobe=8)
+    return out.select("vec_id", F.round("cos", 4).alias("cos"))
+
+
 def _q_grouping_sets(spark, sf):
     """Rollup aggregation (beyond the reference's single group-by-key fold):
     revenue by (returnflag, linestatus), by returnflag, and grand total."""
@@ -492,6 +514,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_by_name": _q_union_by_name,
         "media_plumbing": _q_media_plumbing,
         "lsh_candidates": _q_lsh_candidates,
+        "hot_keys": _q_hot_keys,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "grouping_sets": _q_grouping_sets,
         "topk_orders": _q_topk_orders,
         "anti_join": _q_anti_join,
@@ -762,6 +786,17 @@ def oracle_sql() -> dict[str, str]:
           SELECT doc_id, lang, NULL AS source FROM documents WHERE doc_id < 100
           UNION ALL
           SELECT doc_id, NULL AS lang, source FROM documents WHERE doc_id >= 400
+        """,
+        "hot_keys": """
+          SELECT user_id, count(*) AS n FROM events
+          GROUP BY user_id ORDER BY n DESC, user_id ASC LIMIT 10
+        """,
+        "ann_ivf_topk": """
+          SELECT vec_id, round(c, 4) AS cos FROM (
+            SELECT e.vec_id,
+                   list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS c
+            FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q)
+          ORDER BY c DESC, vec_id ASC LIMIT 10
         """,
         "lsh_candidates": f"""
           WITH sigs AS ({minhash_sig})

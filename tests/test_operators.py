@@ -173,3 +173,16 @@ def test_pipeline_to_lake_merge(spark, tmp_path):
     )
     got = {(r.conv_id, r.turn_idx): r.text for r in table.read().collect()}
     assert got == {("c1", 0): "world", ("c2", 1): "x"}
+
+
+def test_skew_stats_and_salt_recommendation(spark):
+    from go_tfdata_spark.operators.skew import recommend_salt_buckets, skew_stats
+
+    rows = [("hot", i) for i in range(900)] + [(f"k{i}", i) for i in range(100)]
+    df = spark.createDataFrame(rows, "k string, v long")
+    s = skew_stats(df, ["k"])
+    assert s["rows"] == 1000 and s["distinct_keys"] == 101
+    assert s["max_freq"] == 900 and s["skew_ratio"] > 80
+    assert recommend_salt_buckets(s, shuffle_partitions=8) > 1
+    uniform = skew_stats(spark.createDataFrame([(f"k{i}", i) for i in range(100)], "k string, v long"), ["k"])
+    assert recommend_salt_buckets(uniform, shuffle_partitions=8) == 1
