@@ -22,9 +22,13 @@ copy-on-write table format with the same semantics the CDC sink needs
   unknown-field-carry stance (tfdata/transform/transformer.go:135-142)
   made transactional.
 - **exactly-once summaries**: each commit records an application summary
-  (e.g. ``{"job_id": ..., "epoch": ...}``); `committed_epochs` scans the
-  manifest chain so a re-executed foreachBatch epoch is skipped
-  idempotently.
+  (e.g. ``{"job_id": ..., "epoch": ...}``) AND carries a cumulative
+  compressed ledger of every (job_id, epoch) committed so far, so
+  `committed_epochs` is O(1) — one manifest read — not a chain scan.
+  The ledger is compressed as a per-job low watermark ("all epochs
+  0..lw applied") plus a small out-of-order overflow set, so its size is
+  O(jobs + max concurrent out-of-order epochs), not O(epochs): a
+  10^5-epoch stream carries a ~50-byte ledger.
 
 At 10^10-event scale the driver-side state here is O(files-in-changed-
 buckets) per commit, never O(rows): file lists live in the manifest, row
@@ -49,6 +53,77 @@ _BUCKET_COL = "_bucket"
 # Write-slices per bucket: constant (a table-layout property, identical at
 # every cluster size) so file counts stay bounded: files/commit <= buckets*4.
 _WRITE_SPLITS_PER_BUCKET = 4
+
+# Broadcast-hint byte budget for merge key sets. An EXPLICIT broadcast hint
+# is honored by Spark regardless of size (AQE does NOT demote it), so the
+# hint must be gated on an estimated byte size up front; past this budget the
+# join is left to the planner (AQE can still broadcast at runtime if the
+# built side turns out small).
+_BROADCAST_MAX_BYTES = 32 << 20
+
+_FIXED_WIDTH_TYPES = (
+    T.IntegerType, T.LongType, T.ShortType, T.ByteType, T.DoubleType,
+    T.FloatType, T.BooleanType, T.TimestampType, T.DateType,
+)
+
+
+def _est_row_bytes(schema: T.StructType, cols: list[str]) -> int:
+    """Pessimistic per-row byte estimate for a broadcast build side."""
+    w = 16  # row object overhead
+    for f in schema.fields:
+        if f.name in cols:
+            w += 8 if isinstance(f.dataType, _FIXED_WIDTH_TYPES) else 48
+    return w
+
+
+def gate_broadcast(df: DataFrame, approx_rows: int | None = None) -> DataFrame:
+    """Attach a broadcast hint ONLY when the estimated build size fits
+    `_BROADCAST_MAX_BYTES`. With `approx_rows` (e.g. the exact folded-batch
+    key count a caller already computed) the estimate is rows × schema
+    width; otherwise Catalyst's optimized-plan stats are used. When the
+    estimate is too big or unavailable the df is returned unhinted and the
+    planner (incl. AQE's runtime re-plan) decides the join strategy."""
+    if approx_rows is not None:
+        est = approx_rows * _est_row_bytes(df.schema, df.columns)
+    else:
+        try:
+            est = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
+            )
+        except Exception:  # stats unavailable: let the planner decide
+            return df
+    return F.broadcast(df) if 0 <= est <= _BROADCAST_MAX_BYTES else df
+
+
+def _ledger_add(ledger: dict, job_id: str, epoch: int) -> dict:
+    """Fold one (job_id, epoch) into the compressed cumulative ledger.
+
+    Representation per job: {"lw": int, "extra": [int]} — every epoch in
+    [0, lw] is committed, plus the sorted out-of-order epochs in `extra`
+    (> lw). In-order streams keep extra empty; parallel MOR replay keeps it
+    bounded by the epoch parallelism."""
+    entry = dict(ledger.get(job_id) or {"lw": -1, "extra": []})
+    lw, extra = int(entry["lw"]), set(int(x) for x in entry["extra"])
+    e = int(epoch)
+    if e <= lw or e in extra:
+        return ledger
+    if e == lw + 1:
+        lw = e
+        while lw + 1 in extra:
+            lw += 1
+            extra.discard(lw)
+    else:
+        extra.add(e)
+    out = dict(ledger)
+    out[job_id] = {"lw": lw, "extra": sorted(extra)}
+    return out
+
+
+def _ledger_contains(ledger: dict, job_id: str, epoch: int) -> bool:
+    entry = ledger.get(job_id)
+    if not entry:
+        return False
+    return int(epoch) <= int(entry["lw"]) or int(epoch) in set(entry["extra"])
 
 
 def bucket_expr(bucket_by: str, num_buckets: int):
@@ -76,6 +151,10 @@ class Manifest:
     # order_cols, exactly like Iceberg MOR applies equality deletes.
     key_cols: list[str] | None = None
     order_cols: list[str] | None = None
+    # Cumulative exactly-once ledger: {job_id: {"lw": int, "extra": [int]}}.
+    # Includes this manifest's own (job_id, epoch) — folded in at publish —
+    # so committed_epochs() needs exactly ONE manifest read.
+    ledger: dict | None = None
 
     def to_json(self) -> str:
         return json.dumps(
@@ -90,6 +169,7 @@ class Manifest:
                 "timestamp": self.timestamp,
                 "key_cols": self.key_cols,
                 "order_cols": self.order_cols,
+                "ledger": self.ledger or {},
             }
         )
 
@@ -107,6 +187,7 @@ class Manifest:
             timestamp=d.get("timestamp", 0.0),
             key_cols=d.get("key_cols"),
             order_cols=d.get("order_cols"),
+            ledger=d.get("ledger") or {},
         )
 
     @property
@@ -122,6 +203,10 @@ class LakeTable:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = os.path.abspath(path)
+        # last version this instance OBSERVED to exist; current_version()
+        # probes forward from here instead of listing the whole manifest dir
+        # (O(1) per commit on a long-running stream instead of O(epochs)).
+        self._seen_version: int | None = None
 
     # ------------------------------------------------------------------ DDL
     @classmethod
@@ -170,13 +255,26 @@ class LakeTable:
         return os.path.join(self.path, _MANIFEST_DIR, f"v{version:012d}.json")
 
     def current_version(self) -> int | None:
-        d = os.path.join(self.path, _MANIFEST_DIR)
-        if not os.path.isdir(d):
-            return None
-        versions = [
-            int(f[1:-5]) for f in os.listdir(d) if f.startswith("v") and f.endswith(".json")
-        ]
-        return max(versions) if versions else None
+        v = self._seen_version
+        if v is None:
+            d = os.path.join(self.path, _MANIFEST_DIR)
+            if not os.path.isdir(d):
+                return None
+            versions = [
+                int(f[1:-5])
+                for f in os.listdir(d)
+                if f.startswith("v") and f.endswith(".json")
+            ]
+            if not versions:
+                return None
+            v = max(versions)
+        # The max version only ever grows and vacuum never deletes the
+        # newest kept manifests, so probing forward from any version that
+        # once existed always lands on the current max.
+        while os.path.exists(self._manifest_path(v + 1)):
+            v += 1
+        self._seen_version = v
+        return v
 
     def snapshot(self, version: int | None = None) -> Manifest:
         v = version if version is not None else self.current_version()
@@ -190,7 +288,14 @@ class LakeTable:
         return [self.snapshot(v) for v in range(1, (cur or 0) + 1) if os.path.exists(self._manifest_path(v))]
 
     def _publish(self, m: Manifest) -> None:
-        """Atomically publish manifest version m.version (CAS via os.link)."""
+        """Atomically publish manifest version m.version (CAS via os.link).
+
+        The manifest's own (job_id, epoch) summary is folded into its
+        cumulative ledger here, so ledger maintenance and the data commit
+        are one atomic write — the exactly-once invariant (CLAUDE.md)."""
+        s = m.summary or {}
+        if s.get("job_id") is not None and "epoch" in s:
+            m.ledger = _ledger_add(m.ledger or {}, s["job_id"], int(s["epoch"]))
         final = self._manifest_path(m.version)
         tmp = final + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
@@ -203,6 +308,7 @@ class LakeTable:
             raise CommitConflict(f"version {m.version} already committed") from e
         finally:
             os.unlink(tmp)
+        self._seen_version = max(self._seen_version or 0, m.version)
 
     def _next_manifest(self, summary: dict) -> Manifest:
         cur = self.snapshot()
@@ -217,6 +323,7 @@ class LakeTable:
             timestamp=time.time(),
             key_cols=cur.key_cols,
             order_cols=cur.order_cols,
+            ledger=dict(cur.ledger or {}),
         )
 
     # ---------------------------------------------------------------- reads
@@ -324,19 +431,33 @@ class LakeTable:
         commutative, so concurrent appenders are safe: on a CAS conflict the
         loser re-reads the snapshot and republishes the SAME already-written
         files against the new parent (no data rewrite in the retry loop).
-        This is what lets a replay apply epochs in parallel."""
+        This is what lets a replay apply epochs in parallel.
+
+        Zombie protection: when the summary carries a (job_id, epoch), every
+        (re)publish attempt first re-checks the new parent's ledger — two
+        at-least-once executions of the same epoch racing each other cannot
+        both commit; the loser's already-written files become orphans that
+        vacuum's grace-period sweep reclaims."""
         snap = self.snapshot()
         if not (snap.key_cols and snap.order_cols):
             raise ValueError("append_delta requires key_cols/order_cols on the table")
-        m = self._next_manifest({"operation": "append-delta", **(summary or {})})
+        s = {"operation": "append-delta", **(summary or {})}
+        job_id, epoch = s.get("job_id"), s.get("epoch")
+        m = self._next_manifest(s)
         entries = self._write_data(self._conform(df, m.schema), m, delta=True)
         for _ in range(max_retries):
+            if (
+                job_id is not None
+                and epoch is not None
+                and _ledger_contains(m.ledger or {}, job_id, int(epoch))
+            ):
+                return self.snapshot()  # a twin execution already committed it
             m.files = m.files + entries
             try:
                 self._publish(m)
                 return m
             except CommitConflict:
-                m = self._next_manifest({"operation": "append-delta", **(summary or {})})
+                m = self._next_manifest(s)
         raise CommitConflict(f"append_delta lost {max_retries} CAS races")
 
     def _conform(self, df: DataFrame, schema: T.StructType) -> DataFrame:
@@ -362,20 +483,29 @@ class LakeTable:
         Reference stance: unknown fields never fail the pipeline
         (transformer.go:135-142 bytes fallback); here they become real typed
         columns in one atomic manifest commit, old files read NULL for them.
+
+        Concurrency: the add is idempotent (existing fields are skipped), so
+        a CAS loss — e.g. two parallel MOR epochs racing to add the same
+        column — is resolved by re-snapshotting and retrying, not crashing.
         """
-        m = self._next_manifest({"operation": "add-columns", **(summary or {})})
-        existing = set(m.schema.fieldNames())
-        added = []
-        for f in new_fields:
-            if f.name in existing:
-                continue  # idempotent
-            m.schema = T.StructType(m.schema.fields + [f])
-            added.append(f.name)
-        if not added:
-            return self.snapshot()
-        m.summary["added_columns"] = added
-        self._publish(m)
-        return m
+        for _ in range(20):
+            m = self._next_manifest({"operation": "add-columns", **(summary or {})})
+            existing = set(m.schema.fieldNames())
+            added = []
+            for f in new_fields:
+                if f.name in existing:
+                    continue  # idempotent
+                m.schema = T.StructType(m.schema.fields + [f])
+                added.append(f.name)
+            if not added:
+                return self.snapshot()
+            m.summary["added_columns"] = added
+            try:
+                self._publish(m)
+                return m
+            except CommitConflict:
+                continue
+        raise CommitConflict("update_schema lost 20 CAS races")
 
     # ----------------------------------------------------------------- merge
     def merge(
@@ -416,10 +546,11 @@ class LakeTable:
             return self.snapshot()  # empty batch: no-op, no commit
 
         target = self.read_buckets(affected)
-        changed_keys = src.distinct()
-        # Broadcast hint: Spark's AQE will fall back to shuffled hash join if
-        # the key set exceeds the broadcast threshold at runtime.
-        kept = target.join(F.broadcast(changed_keys), on=key_cols, how="left_anti")
+        # Hint only if the estimated key-set size fits the broadcast budget —
+        # an explicit hint is honored unconditionally (AQE does NOT demote
+        # it), so an unbounded hint could OOM the driver at scale.
+        changed_keys = gate_broadcast(src.distinct())
+        kept = target.join(changed_keys, on=key_cols, how="left_anti")
         new_rows = kept.unionByName(self._conform(upserts, m.schema))
 
         untouched = [f for f in m.files if f.get("bucket") not in set(affected)]
@@ -437,6 +568,7 @@ class LakeTable:
         summary: dict | None = None,
         strategy: str = "broadcast",
         affected: list[int] | None = None,
+        source_rows: int | None = None,
     ) -> Manifest:
         """Order-conditional MERGE: per key, keep whichever of {current target
         row, source row} has the greater (order_cols) tuple.
@@ -488,7 +620,11 @@ class LakeTable:
             )
             m.files = untouched + self._write_data(merged, m)
         else:
-            keys = F.broadcast(src.select(*key_cols).distinct())
+            # Size-gated hint (see gate_broadcast): callers that already know
+            # the folded-batch key count pass it as `source_rows` for an
+            # exact byte estimate; otherwise Catalyst stats decide. Oversized
+            # key sets run unhinted — the planner (incl. AQE) picks the join.
+            keys = gate_broadcast(src.select(*key_cols).distinct(), source_rows)
             passthrough = target.join(keys, on=key_cols, how="left_anti")
             colliding = target.join(keys, on=key_cols, how="left_semi")
             winners = lww_latest(
@@ -543,65 +679,77 @@ class LakeTable:
         self._publish(m)
         return m
 
-    def vacuum(self, keep_versions: int = 10) -> dict:
+    def vacuum(self, keep_versions: int = 10, orphan_grace_sec: float = 3600.0) -> dict:
         """Physically delete data files no longer referenced by the last
         `keep_versions` manifests (bounds time travel), plus files orphaned
         by failed commits (written but never published — the crash window
         the CAS protocol leaves behind harmlessly).
 
-        The ledger is preserved: expired manifests are compacted into the
-        oldest kept manifest's summary chain (committed_epochs keeps
-        answering correctly after vacuum) by copying their (job_id, epoch)
-        summaries into a `ledger` list on the oldest kept manifest file.
+        Two deletion classes with different safety rules:
+
+        - files referenced ONLY by expired manifests: committed data whose
+          versions are being dropped — deletable immediately (no live
+          reader: snapshot() can no longer return those versions);
+        - files referenced by NO manifest at all: indistinguishable from an
+          in-flight concurrent commit that has written its data but not yet
+          CAS-published (exactly the window `append_delta` creates), so they
+          are only deleted past `orphan_grace_sec` of mtime age — the
+          Iceberg remove_orphan_files `older_than` discipline.
+
+        No manifest is ever rewritten: the cumulative ledger rides forward
+        in every commit, so dropping expired manifests loses no
+        exactly-once state (manifests stay immutable after publish).
         """
         cur = self.current_version()
         keep_from = max(1, (cur or 1) - keep_versions + 1)
-        kept_manifests = [m for m in self.history() if m.version >= keep_from]
-        expired = [m for m in self.history() if m.version < keep_from]
+        history = self.history()
+        kept_manifests = [m for m in history if m.version >= keep_from]
+        expired = [m for m in history if m.version < keep_from]
 
         referenced = {f["path"] for m in kept_manifests for f in m.files}
+        expired_refs = {
+            f["path"] for m in expired for f in m.files
+        } - referenced
+        now = time.time()
         removed_files = 0
         data_root = os.path.join(self.path, _DATA_DIR)
         for dirpath, _dirnames, filenames in os.walk(data_root):
             for fn in filenames:
+                if not fn.endswith(".parquet"):
+                    continue
                 abs_p = os.path.join(dirpath, fn)
                 rel = os.path.relpath(abs_p, self.path)
-                if rel not in referenced and fn.endswith(".parquet"):
-                    os.unlink(abs_p)
-                    removed_files += 1
-        # fold expired ledger entries into the oldest kept manifest
-        ledger = []
-        for m in expired:
-            s = m.summary
-            if "epoch" in s:
-                ledger.append({"job_id": s.get("job_id"), "epoch": s["epoch"]})
-            ledger.extend(s.get("ledger", []))
-        if ledger and kept_manifests:
-            oldest = kept_manifests[0]
-            oldest.summary.setdefault("ledger", []).extend(ledger)
-            tmp = self._manifest_path(oldest.version) + f".tmp.{uuid.uuid4().hex}"
-            with open(tmp, "w") as f:
-                f.write(oldest.to_json())
-            os.replace(tmp, self._manifest_path(oldest.version))
+                if rel in referenced:
+                    continue
+                if rel not in expired_refs:
+                    try:  # true orphan: possibly an in-flight commit's data
+                        if now - os.path.getmtime(abs_p) < orphan_grace_sec:
+                            continue
+                    except FileNotFoundError:
+                        continue
+                os.unlink(abs_p)
+                removed_files += 1
         for m in expired:
             os.unlink(self._manifest_path(m.version))
         return {"removed_files": removed_files, "removed_manifests": len(expired)}
 
     # ----------------------------------------------------------- exactly-once
-    def committed_epochs(self, job_id: str) -> set[int]:
-        """Epochs already applied by `job_id`, from the manifest chain.
+    def is_committed(self, job_id: str, epoch: int) -> bool:
+        """O(1) idempotence check: one manifest read, no chain scan.
 
-        `foreachBatch` is at-least-once; a retried epoch finds itself here
-        and skips — this is the engine's idempotent-commit ledger
-        (SURVEY.md §2.9), fixing the reference's documented sink
-        non-atomicity (tfrecord.go:62).
+        `foreachBatch` is at-least-once; a retried epoch finds itself in the
+        cumulative ledger and skips — this is the engine's idempotent-commit
+        ledger (SURVEY.md §2.9), fixing the reference's documented sink
+        non-atomicity (tfrecord.go:62). The ledger rides INSIDE each data
+        commit (see `_publish`), so there is no window where data committed
+        but the ledger missed it.
         """
-        out = set()
-        for m in self.history():
-            s = m.summary
-            if s.get("job_id") == job_id and "epoch" in s:
-                out.add(int(s["epoch"]))
-            for entry in s.get("ledger", []):  # folded-in by vacuum()
-                if entry.get("job_id") == job_id:
-                    out.add(int(entry["epoch"]))
-        return out
+        return _ledger_contains(self.snapshot().ledger or {}, job_id, epoch)
+
+    def committed_epochs(self, job_id: str) -> set[int]:
+        """Materialized committed-epoch set (diagnostics; prefer
+        `is_committed` in hot paths — this expands the compressed ledger)."""
+        entry = (self.snapshot().ledger or {}).get(job_id)
+        if not entry:
+            return set()
+        return set(range(0, int(entry["lw"]) + 1)) | {int(x) for x in entry["extra"]}

@@ -36,6 +36,12 @@ from pyspark.sql import types as T
 _NUM_OFFSET = 10**18
 _PAD = 20
 
+# to_json's default timestampFormat truncates to milliseconds, which would
+# corrupt sub-ms ts values round-tripped through the encoded fold (and ts is
+# itself an LWW order column downstream). Microsecond format with explicit
+# offset keeps the encode/decode pair lossless and session-TZ independent.
+_JSON_TS_OPTS = {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"}
+
 _JSON_SAFE = (
     T.StringType, T.IntegerType, T.LongType, T.ShortType, T.ByteType,
     T.DoubleType, T.FloatType, T.BooleanType, T.TimestampType, T.DateType,
@@ -119,7 +125,9 @@ def lww_latest(
 
 
 def _lww_encoded(df, key_cols, order_cols, payload, salt_buckets):
-    enc = F.concat(_order_key(df, order_cols), F.to_json(F.struct(*payload))).alias("_enc")
+    enc = F.concat(
+        _order_key(df, order_cols), F.to_json(F.struct(*payload), _JSON_TS_OPTS)
+    ).alias("_enc")
     prefix_len = _PAD * len(order_cols)
     payload_schema = T.StructType([df.schema[c] for c in payload])
 
@@ -135,7 +143,11 @@ def _lww_encoded(df, key_cols, order_cols, payload, salt_buckets):
 
     decoded = final.withColumn(
         "_r",
-        F.from_json(F.substring(F.col("_enc"), prefix_len + 1, 1 << 30), payload_schema),
+        F.from_json(
+            F.substring(F.col("_enc"), prefix_len + 1, 1 << 30),
+            payload_schema,
+            _JSON_TS_OPTS,
+        ),
     )
     out_cols = [F.col(c) if c in key_cols else F.col(f"_r.{c}").alias(c) for c in df.columns]
     return decoded.select(*out_cols)

@@ -264,7 +264,7 @@ def apply_changes(
     lineage embedded in the atomic commit.
     """
     validate_changes(changes, key_cols, order_cols)
-    if epoch in table.committed_epochs(job_id):
+    if table.is_committed(job_id, epoch):
         return ApplyResult(job_id, epoch, skipped=True, version=None, lineage=[])
 
     if evolve_schema:
@@ -288,12 +288,23 @@ def apply_changes(
         affected = None
     summary = {"job_id": job_id, "epoch": int(epoch), "lineage": lineage}
     strategy = merge_strategy
+    batch_keys = (
+        sum(r["rows_upserted"] + r["rows_deleted"] for r in lineage) if lineage else None
+    )
     if strategy == "auto":
-        # Sparse batches (few distinct keys) -> broadcast passthrough merge;
-        # dense batches -> single-shuffle union fold. The distinct-key count
-        # comes free from the lineage aggregate when collected.
-        batch_keys = sum(r["rows_upserted"] + r["rows_deleted"] for r in lineage) if lineage else None
-        strategy = "broadcast" if (batch_keys is not None and batch_keys < 1_000_000) else "shuffle"
+        # Sparse batches (key set small enough to BROADCAST) -> passthrough
+        # merge; dense batches -> single-shuffle union fold. Gated on the
+        # estimated broadcast BYTES, not a row count: the hint is honored
+        # unconditionally by Spark, so the gate must bound driver memory.
+        # The distinct-key count comes free from the lineage aggregate.
+        from go_tfdata_spark.lake.table import _BROADCAST_MAX_BYTES
+
+        est_key_bytes = 96  # conv_id string + turn_idx int, pessimistic
+        strategy = (
+            "broadcast"
+            if (batch_keys is not None and batch_keys * est_key_bytes <= _BROADCAST_MAX_BYTES)
+            else "shuffle"
+        )
     if strategy == "mor":
         # merge-on-read: append the folded batch as delta files (write
         # O(batch), no target scan); reads/compaction resolve LWW.
@@ -306,6 +317,7 @@ def apply_changes(
             summary=summary,
             strategy=strategy,
             affected=affected,
+            source_rows=batch_keys,
         )
     return ApplyResult(job_id, epoch, skipped=False, version=m.version, lineage=lineage)
 

@@ -46,12 +46,24 @@ def assemble_conversations_stream(
     changes: DataFrame,
     expected_turns: int,
     timeout_ms: int = 0,
+    tombstone_retention_ms: int | None = None,
 ) -> DataFrame:
     """Streaming conversation assembly: emits one row per conversation as
     soon as `expected_turns` distinct turn_idx values have arrived (state
     evicted on emit); with `timeout_ms`, stale incomplete conversations are
-    flushed with complete=false."""
+    flushed with complete=false.
+
+    The done-tombstone outlives the incomplete-flush timeout by
+    `tombstone_retention_ms` (default 100× `timeout_ms`): evicting it at the
+    same cadence would let a straggler event recreate empty state and
+    RE-emit an already-emitted conversation. Emit-exactly-once therefore
+    holds for any event arriving within the retention window; events later
+    than that can re-open the conversation (bounded-state trade-off — state
+    stays O(open conversations), not O(all conversations ever seen))."""
     import pandas as pd
+
+    if tombstone_retention_ms is None:
+        tombstone_retention_ms = 100 * timeout_ms
 
     def fn(key, pdfs, state: GroupState):
         (conv_id,) = key
@@ -72,6 +84,8 @@ def assemble_conversations_stream(
         if done:
             for _ in pdfs:  # drain; already emitted exactly once
                 pass
+            if timeout_ms:  # activity extends the tombstone's retention
+                state.setTimeoutDuration(tombstone_retention_ms)
             return
         seen = dict(zip(turn_idxs, texts))
         for pdf in pdfs:
@@ -83,7 +97,7 @@ def assemble_conversations_stream(
             # DeleteRecord) — only the done flag remains.
             state.update(([], [], True))
             if timeout_ms:
-                state.setTimeoutDuration(timeout_ms)
+                state.setTimeoutDuration(tombstone_retention_ms)
             ordered = [seen[k] for k in sorted(seen)]
             yield pd.DataFrame(
                 {

@@ -156,12 +156,16 @@ def test_vacuum_removes_old_versions_keeps_ledger(spark, tmp_path):
     assert t.read().count() == n_rows
     # ledger survives vacuum (exactly-once across maintenance)
     assert t.committed_epochs("j") == {0, 1, 2, 3, 4}
-    # orphaned files (unpublished commit) get cleaned
-    import os
+    # orphaned files (unpublished commit) get cleaned — but ONLY past the
+    # grace period: a fresh orphan is indistinguishable from a concurrent
+    # commit that has written data but not yet CAS-published, and deleting
+    # it would corrupt that commit's table version.
     m = t._next_manifest({})
     t._write_data(spark.createDataFrame([("zz", 99, "orphan")], SCHEMA), m)  # never published
     before = t.read().count()
-    stats2 = t.vacuum(keep_versions=2)
+    protected = t.vacuum(keep_versions=2)  # default grace: orphan survives
+    assert protected["removed_files"] == 0
+    stats2 = t.vacuum(keep_versions=2, orphan_grace_sec=0)
     assert stats2["removed_files"] > 0
     assert t.read().count() == before
 
@@ -184,3 +188,78 @@ def test_concurrent_writers_one_wins(spark, tmp_path):
     t.append(spark.createDataFrame([("c", 3, "z")], SCHEMA))
     rows = {r.conv_id for r in t.read().collect()}
     assert rows == {"a", "b", "c"}
+
+
+def test_ledger_is_cumulative_and_o1(spark, tmp_path):
+    """The compressed (lw, extra) ledger rides inside every commit: lookups
+    read ONE manifest, out-of-order epochs compress back into the watermark."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "led"), SCHEMA, num_buckets=2,
+        key_cols=["conv_id", "turn_idx"], order_cols=["turn_idx"],
+    )
+    df = spark.createDataFrame([("a", 1, "x")], SCHEMA)
+    for e in (0, 2, 5, 1):  # deliberately out of order
+        t.append(df, summary={"job_id": "j", "epoch": e})
+    led = t.snapshot().ledger["j"]
+    assert led == {"lw": 2, "extra": [5]}  # 0,1,2 contiguous; 5 out-of-order
+    assert t.committed_epochs("j") == {0, 1, 2, 5}
+    for e, want in [(0, True), (1, True), (3, False), (5, True), (6, False)]:
+        assert t.is_committed("j", e) is want
+    t.append(df, summary={"job_id": "j", "epoch": 3})
+    t.append(df, summary={"job_id": "j", "epoch": 4})
+    assert t.snapshot().ledger["j"] == {"lw": 5, "extra": []}  # drained
+    # ledger survives vacuum with NO manifest rewrite
+    t.vacuum(keep_versions=1)
+    assert t.is_committed("j", 5) and not t.is_committed("j", 6)
+
+
+def test_append_delta_zombie_epoch_skipped(spark, tmp_path):
+    """A second at-least-once execution of an already-committed (job_id,
+    epoch) must not double-commit: the publish loop re-checks the ledger."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "z"), SCHEMA, num_buckets=2,
+        key_cols=["conv_id", "turn_idx"], order_cols=["turn_idx"],
+    )
+    df = spark.createDataFrame([("a", 1, "x")], SCHEMA)
+    m1 = t.append_delta(df, summary={"job_id": "jz", "epoch": 7})
+    v_after = t.current_version()
+    m2 = t.append_delta(df, summary={"job_id": "jz", "epoch": 7})  # zombie
+    assert t.current_version() == v_after  # no new commit
+    assert m2.version == m1.version
+    assert t.read(resolve=False).count() == 1  # no duplicate delta rows live
+    assert t.committed_epochs("jz") == {7}
+
+
+def test_update_schema_concurrent_adds_retry(spark, tmp_path):
+    """Racing ADD COLUMNs (e.g. parallel MOR epochs evolving the same field)
+    retry through CommitConflict instead of crashing; the add stays
+    idempotent."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    t = _mk(spark, tmp_path, name="sc")
+
+    def add(i):
+        tt = LakeTable.load(spark, str(tmp_path / "sc"))
+        tt.update_schema([T.StructField("tool", T.StringType(), True),
+                          T.StructField(f"m{i}", T.LongType(), True)])
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        list(ex.map(add, range(8)))
+    names = t.schema().fieldNames()
+    assert names.count("tool") == 1
+    assert all(f"m{i}" in names for i in range(8))
+
+
+def test_gate_broadcast_size_gated(spark):
+    """The broadcast hint is attached only when the estimated build side fits
+    the byte budget — an oversized key set runs unhinted (the planner/AQE
+    decides), never a forced driver-side broadcast."""
+    from go_tfdata_spark.lake.table import gate_broadcast
+
+    keys = spark.range(100).select(
+        F.col("id").cast("string").alias("conv_id"), F.col("id").cast("int").alias("turn_idx")
+    )
+    big = gate_broadcast(keys, approx_rows=100_000_000)
+    assert big is keys  # unhinted: same object back
+    small = gate_broadcast(keys, approx_rows=100)
+    assert small is not keys
+    assert "hint" in small._jdf.queryExecution().analyzed().toString().lower()

@@ -170,3 +170,31 @@ def test_invalid_batch_fails_fast(spark, tmp_path):
     bad = spark.createDataFrame([("c1", 0)], "conv_id string, turn_idx int")
     with pytest.raises(ValueError, match="missing required columns"):
         apply_changes(table, bad, job_id="j", epoch=0)
+
+
+def test_auto_strategy_dense_batch_goes_shuffle(spark, tmp_path):
+    """A batch whose key set exceeds the broadcast byte budget must take the
+    single-shuffle union-fold path — no forced driver broadcast at scale."""
+    from go_tfdata_spark.operators.merge import apply_changes
+
+    table = create_transcripts_table(
+        spark, str(tmp_path / "dense"), TRANSCRIPTS_SCHEMA, num_buckets=8
+    )
+    changes = synthetic_changes(spark, seed=7, n_events=200, n_epochs=1)
+    huge = [{"src_part": 0, "offsets_applied": 10**7, "rows_upserted": 10**7,
+             "rows_deleted": 0, "watermark": None}]
+    r = apply_changes(
+        table, changes, job_id="dense", epoch=0,
+        precomputed={"lineage": huge, "affected": None},
+    )
+    assert not r.skipped
+    assert table.snapshot().summary["merge_strategy"] == "shuffle"
+    # and a genuinely sparse batch still picks broadcast
+    changes2 = synthetic_changes(spark, seed=8, n_events=200, n_epochs=1)
+    small = [{"src_part": 0, "offsets_applied": 200, "rows_upserted": 150,
+              "rows_deleted": 0, "watermark": None}]
+    apply_changes(
+        table, changes2, job_id="dense", epoch=1,
+        precomputed={"lineage": small, "affected": None},
+    )
+    assert table.snapshot().summary["merge_strategy"] == "broadcast"
