@@ -7,12 +7,16 @@ mask ((crc>>15 | crc<<17) + 0xa282ead8) from internal/checksum/crc.go:28-31.
 The engine's primary sink is the lake table; this module exists so users of
 the reference's TFRecord round-trip (doc.go:12-29) can keep that path:
 
-- `write_tfrecords(df, dir)` — each partition writes one .tfrecord file via
-  mapPartitions (the distributed analog of WriteMessagesAsync's unordered
-  parallel sink, tfrecord.go:124-180); records are JSON-serialized rows
-  (the engine's payload is transcripts, not tf.Example protos — the framing
-  and checksums are format-exact, the payload codec is pluggable).
-- `read_tfrecords(spark, dir)` — parallel read + frame/CRC verification
+- `write_tfrecords(df, dir)` — each partition writes one .tfrecord file (the
+  distributed analog of WriteMessagesAsync's unordered parallel sink,
+  tfrecord.go:124-180). The row->JSON payload serialization runs JVM-side
+  (`F.to_json`, whole-stage codegen); Python only frames ready-made byte
+  payloads at Arrow-batch level inside `mapInPandas` — no per-row Python,
+  no df.rdd. (The engine's payload is transcripts, not tf.Example protos —
+  the framing and checksums are format-exact; for protobuf Example payloads
+  see sources/tfexample.py.)
+- `read_tfrecords(spark, dir)` — parallel `binaryFile` read + frame/CRC
+  verification in an Arrow-batched unframe, then JVM-side `from_json`
   (dual of TFRecordReader.ReadNext, tfrecord.go:207-236).
 
 Format knowledge is public (TensorFlow documentation of TFRecord framing).
@@ -20,13 +24,17 @@ Format knowledge is public (TensorFlow documentation of TFRecord framing).
 
 from __future__ import annotations
 
-import json
 import os
 import struct
 import uuid
 
-from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# Lossless, session-TZ-independent timestamp round-trip (same rationale as
+# operators/lww.py:_JSON_TS_OPTS — the default format truncates to ms).
+_JSON_OPTS = {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"}
 
 _MASK_DELTA = 0xA282EAD8
 _CASTAGNOLI_POLY = 0x82F63B78
@@ -97,50 +105,54 @@ def write_tfrecords(df: DataFrame, out_dir: str) -> int:
     """Distributed TFRecord sink: one file per partition, unordered across
     partitions (the reference's async sink is explicitly unordered,
     tfrecord.go:170-175 — equality checks must be order-insensitive).
-    Returns number of files written."""
-    os.makedirs(out_dir, exist_ok=True)
-    cols = df.columns
+    Returns number of files written.
 
-    def _write_partition(idx: int, rows) -> "list[int]":
-        path = os.path.join(out_dir, f"part-{idx:05d}-{uuid.uuid4().hex[:8]}.tfrecord")
+    Plan shape: row -> JSON happens in Catalyst (`to_json(struct(*))`,
+    codegen'd, binary base64 / timestamps microsecond-exact); the Arrow
+    batches that reach Python already hold finished payload strings, and the
+    Python stage only frames bytes + writes the shard — batch-level work
+    proportional to output bytes, not row-decode cost."""
+    os.makedirs(out_dir, exist_ok=True)
+    payloads = df.select(
+        F.to_json(F.struct(*[F.col(c) for c in df.columns]), _JSON_OPTS).alias("json")
+    )
+
+    def write_partition(batches):
+        import pandas as pd
+
+        path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.tfrecord")
         n = 0
         with open(path, "wb") as f:
-            for row in rows:
-                payload = json.dumps(
-                    {c: _jsonable(row[c]) for c in cols}, sort_keys=True
-                ).encode("utf-8")
-                f.write(frame_record(payload))
-                n += 1
+            for pdf in batches:
+                f.write(
+                    b"".join(frame_record(s.encode("utf-8")) for s in pdf["json"])
+                )
+                n += len(pdf)
         if n == 0:
             os.unlink(path)
-        return [n]
+        yield pd.DataFrame({"n": [n]})
 
-    counts = df.rdd.mapPartitionsWithIndex(_write_partition).collect()
-    return sum(1 for c in counts if c > 0)
-
-
-def _jsonable(v):
-    if hasattr(v, "isoformat"):
-        return v.isoformat()
-    if isinstance(v, bytes):
-        return v.hex()
-    return v
+    counts = payloads.mapInPandas(write_partition, "n long").collect()
+    return sum(1 for r in counts if r.n > 0)
 
 
 def read_tfrecords(spark: SparkSession, in_dir: str, schema: T.StructType | None = None) -> DataFrame:
     """Parallel TFRecord source: spark.read.format('binaryFile') per file ->
-    unframe + CRC verify -> JSON rows (dual of ReadAllExamples,
-    tfrecord.go:238-259, but distributed instead of drain-to-slice)."""
+    Arrow-batched unframe + CRC verify -> JVM `from_json` row decode (dual
+    of ReadAllExamples, tfrecord.go:238-259, but distributed instead of
+    drain-to-slice)."""
     files = spark.read.format("binaryFile").load(os.path.join(in_dir, "*.tfrecord"))
 
-    def _parse(rows):
-        for r in rows:
-            for payload in unframe_records(bytes(r.content)):
-                yield Row(json=payload.decode("utf-8"))
+    def unframe(batches):
+        import pandas as pd
 
-    jdf = files.select("content").rdd.mapPartitions(_parse).toDF("json string")
+        for pdf in batches:
+            out: list[str] = []
+            for content in pdf["content"]:
+                out.extend(p.decode("utf-8") for p in unframe_records(bytes(content)))
+            yield pd.DataFrame({"json": out})
+
+    jdf = files.select("content").mapInPandas(unframe, "json string")
     if schema is None:
         return jdf
-    from pyspark.sql import functions as F
-
-    return jdf.select(F.from_json("json", schema).alias("r")).select("r.*")
+    return jdf.select(F.from_json("json", schema, _JSON_OPTS).alias("r")).select("r.*")

@@ -47,3 +47,21 @@ def test_distributed_roundtrip(spark, tmp_path):
     back = read_tfrecords(spark, str(tmp_path / "tfr"), schema="id long, text string")
     got = sorted((r["id"], r["text"]) for r in back.collect())
     assert got == [(i, f"text-{i}") for i in range(100)]
+
+
+def test_tfrecord_io_is_arrow_batched_not_per_row(spark, tmp_path):
+    """No df.rdd / per-row Python anywhere in the TFRecord path: JSON codec
+    is JVM to_json/from_json, Python only frames bytes at Arrow-batch level."""
+    from pyspark.sql import types as T
+
+    from go_tfdata_spark.sources.tfrecord import read_tfrecords, write_tfrecords
+
+    df = spark.range(10).selectExpr("cast(id as string) conv_id", "id v")
+    write_tfrecords(df, str(tmp_path / "o"))
+    schema = T.StructType([
+        T.StructField("conv_id", T.StringType()), T.StructField("v", T.LongType())])
+    back = read_tfrecords(spark, str(tmp_path / "o"), schema)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan  # row-at-a-time Python UDF marker
+    assert back.count() == 10
