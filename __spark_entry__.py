@@ -47,6 +47,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+# Stop-shingle document-frequency cap used by the shingle_jaccard contract
+# query AND its oracle (identical filter on both sides).
+_SHINGLE_MAX_DF = 100
+# Random-hyperplane LSH config for embedding_near_dups_lsh (bucket function
+# restated literally in the oracle via the same plane matrix).
+_EMB_DIM, _EMB_PLANES, _EMB_SEED = 64, 4, 7
+
+
 # ---------------------------------------------------------------------------
 # Flagship: CDC replay of a change stream derived from `events` into a
 # transcripts lake table, exactly-once, returning the final user-facing state.
@@ -277,10 +285,13 @@ def _q_dedup_exact(spark, sf):
 
 
 def _q_shingle_jaccard(spark, sf):
+    """Exact n-gram Jaccard with the stop-shingle cap ON (the 100 TB shape:
+    a shingle in d docs contributes d^2 join rows; the cap bounds d). The
+    oracle applies the identical document-frequency filter."""
     docs = _t(spark, sf, "documents")
-    return shingle_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.03).select(
-        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
-    )
+    return shingle_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.03, max_doc_freq=_SHINGLE_MAX_DF
+    ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
 
 def _q_minhash_signatures(spark, sf):
@@ -323,6 +334,65 @@ def _q_embedding_near_dups(spark, sf):
         .filter(F.col("cos") >= 0.45)
         .select("id_a", "id_b", F.round("cos", 4).alias("cos"))
     )
+
+
+def _q_embedding_near_dups_lsh(spark, sf):
+    """The SCALE path of embedding near-dup: random-hyperplane bucketing —
+    only vectors agreeing on all sign bits meet (bucket join, not a cross
+    join). Oracle restates the exact bucket function via list_dot_product
+    against the same plane matrix."""
+    from go_tfdata_spark.operators.dedup import embedding_near_dups
+
+    emb = _t(spark, sf, "embeddings").select(
+        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v")
+    )
+    return embedding_near_dups(
+        emb, "vec_id", "v", threshold=0.45,
+        hyperplanes=_EMB_PLANES, seed=_EMB_SEED, dim=_EMB_DIM,
+    ).select("id_a", "id_b", F.round("cos", 4).alias("cos"))
+
+
+def _q_tar_ingest(spark, sf):
+    """TAR archive source end-to-end (reference's primary ingest surface):
+    deterministic fixture archive -> member rows -> assembled samples ->
+    per-sample field inventory. Oracle is the literal expected table."""
+    from go_tfdata_spark.sources.tar import read_tar_samples
+
+    path = _tar_fixture()
+    samples = read_tar_samples(spark, path, expected_fields=["cls", "txt"])
+    return samples.select(
+        F.col("key"),
+        F.size("members").alias("n_fields"),
+        F.decode(F.element_at("members", "cls"), "UTF-8").alias("cls"),
+        F.octet_length(F.element_at("members", "txt")).alias("txt_bytes"),
+    )
+
+
+def _tar_fixture(n: int = 10) -> str:
+    """Deterministic WebDataset-style tar written once per process (atomic
+    rename, content independent of time/environment)."""
+    import io
+    import tarfile
+
+    path = os.path.join(tempfile.gettempdir(), "go_tfdata_spark_fixture.tar")
+    if os.path.exists(path):
+        return path
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for i in range(n):
+            for field, data in (
+                ("cls", str(i % 10).encode()),
+                ("txt", (f"sample-{i}-" * (i + 1)).encode()),
+            ):
+                info = tarfile.TarInfo(name=f"shard0/{i:03d}.{field}")
+                info.size = len(data)
+                info.mtime = 0
+                tf.addfile(info, io.BytesIO(data))
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(buf.getvalue())
+    os.replace(tmp, path)
+    return path
 
 
 def _q_props_sum(spark, sf):
@@ -421,7 +491,7 @@ def _q_lsh_candidates(spark, sf):
 
     docs = _t(spark, sf, "documents")
     sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=16, n=3)
-    return lsh_candidate_pairs(sigs, "doc_id", bands=4)
+    return lsh_candidate_pairs(sigs, "doc_id", bands=4, sig_len=16)
 
 
 def _q_hot_keys(spark, sf):
@@ -513,6 +583,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_norms": _q_vector_norms,
         "union_by_name": _q_union_by_name,
         "media_plumbing": _q_media_plumbing,
+        "embedding_near_dups_lsh": _q_embedding_near_dups_lsh,
+        "tar_ingest": _q_tar_ingest,
         "lsh_candidates": _q_lsh_candidates,
         "hot_keys": _q_hot_keys,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -703,7 +775,9 @@ def oracle_sql() -> dict[str, str]:
           FROM documents GROUP BY 1
         """,
         "shingle_jaccard": f"""
-          WITH sh AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM documents),
+          WITH sh0 AS (SELECT doc_id, unnest({_SHINGLES}) AS s FROM documents),
+          keep AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= {_SHINGLE_MAX_DF}),
+          sh AS (SELECT doc_id, s FROM sh0 JOIN keep USING (s)),
           sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
           pairs AS (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
@@ -818,6 +892,44 @@ def oracle_sql() -> dict[str, str]:
           WHERE c_custkey NOT IN
             (SELECT o_custkey FROM orders WHERE o_totalprice < 20000)
         """,
-        # media_plumbing: intentionally omitted (mapInPandas featurize is not
-        # SQL-expressible) -> driver records the rows-only check.
+        # media_plumbing: the mapInPandas featurize stage is deterministic —
+        # the stub decoder always yields an 8x8 grid and n_bytes is the
+        # payload's byte length — so the output IS SQL-expressible.
+        "media_plumbing": """
+          SELECT doc_id AS media_id, 'image' AS kind, 8 AS width, 8 AS height,
+                 coalesce(strlen(text), 0)::BIGINT AS n_bytes
+          FROM documents
+        """,
+        "embedding_near_dups_lsh": _embedding_lsh_sql(),
+        "tar_ingest": _tar_ingest_sql(),
     }
+
+
+def _embedding_lsh_sql() -> str:
+    """Restate the hyperplane bucket function literally: same plane matrix,
+    same sign-bit packing, then the bucket-equality join + cosine filter."""
+    from go_tfdata_spark.operators.dedup import hyperplane_matrix
+
+    planes = hyperplane_matrix(_EMB_PLANES, _EMB_DIM, _EMB_SEED)
+    bits = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+        f"[{', '.join(repr(float(x)) for x in planes[j])}]) > 0 "
+        f"THEN {2**j} ELSE 0 END)"
+        for j in range(_EMB_PLANES)
+    )
+    return f"""
+      WITH bkts AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v, ({bits}) AS bkt FROM embeddings)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_cosine_similarity(a.v, b.v), 4) AS cos
+      FROM bkts a JOIN bkts b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+    """
+
+
+def _tar_ingest_sql(n: int = 10) -> str:
+    rows = ", ".join(
+        f"('shard0/{i:03d}', 2, '{i % 10}', {len(f'sample-{i}-') * (i + 1)})"
+        for i in range(n)
+    )
+    return f"SELECT * FROM (VALUES {rows}) AS t(key, n_fields, cls, txt_bytes)"

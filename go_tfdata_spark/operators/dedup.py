@@ -27,6 +27,21 @@ from go_tfdata_spark.functions.text import fingerprint, rolling_hash, word_shing
 _MERSENNE = 2**31 - 1
 
 
+def _ensure_parallelism(df: DataFrame, *cols: str) -> DataFrame:
+    """Spread a narrow input across the cluster before an expensive
+    per-row expression (shingle explode, hash family, bucket projection).
+
+    A small dimension-sized parquet often arrives as ONE split (maxPartition-
+    Bytes), which would serialize the whole explode on one core — measured
+    7s of a 14s query at sf0.1. At real scale inputs already carry thousands
+    of splits and this is a no-op (we only repartition when the scan has
+    materially fewer partitions than the cluster has slots)."""
+    want = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 < want:
+        return df.repartition(want, *[F.col(c) for c in cols])
+    return df
+
+
 def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact dedup on normalized-text fingerprint: keep the row with the
     smallest id per fingerprint group. Output: input columns + `fp`."""
@@ -45,6 +60,7 @@ def shingle_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard similarity for all document pairs sharing
     >=1 shingle, filtered to jaccard >= threshold, id_a < id_b.
@@ -52,11 +68,25 @@ def shingle_jaccard_pairs(
     Plan shape: explode distinct shingles -> self-join on shingle (docs
     that share nothing never meet) -> count intersections -> jaccard from
     |A|,|B|,|A∩B|. Shuffles are keyed by shingle then by pair.
-    """
-    sh = df.select(
+
+    `max_doc_freq` is the stop-shingle cap — the scale knob: a shingle
+    appearing in d documents contributes d^2 join rows, so one stop-shingle
+    (a boilerplate phrase in 1%% of a 10^9-doc corpus) alone would be 10^14
+    pairs. Capping document frequency bounds the per-shingle group size;
+    Jaccard is then computed on the capped shingle universe (both the
+    intersection AND the set sizes, so the statistic stays internally
+    consistent — standard stop-shingle pruning)."""
+    sh = _ensure_parallelism(df, id_col).select(
         F.col(id_col).alias("doc"),
         F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("sh"),
     )
+    # The (doc, shingle) rows feed both self-join sides + sizes (+ the DF
+    # cap): persist the narrow exploded rows so the expensive shingle
+    # expression runs once, not three or four times.
+    sh = sh.persist()
+    if max_doc_freq is not None:
+        dfreq = sh.groupBy("sh").agg(F.count("*").alias("_df"))
+        sh = sh.join(dfreq.filter(F.col("_df") <= max_doc_freq), "sh").drop("_df")
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     pairs = (
         sh.alias("a")
@@ -105,7 +135,7 @@ def minhash_signatures(
     expression, the min fold is elementwise via per-slot F.min aggregates.
     """
     params = _minhash_params(num_hashes, seed)
-    sh = df.select(
+    sh = _ensure_parallelism(df, id_col).select(
         F.col(id_col),
         F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("sh"),
     ).withColumn("x", rolling_hash(F.col("sh")))
@@ -123,15 +153,23 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sig_df: DataFrame, id_col: str, bands: int = 4, sig_col: str = "sig"
+    sig_df: DataFrame,
+    id_col: str,
+    bands: int = 4,
+    sig_col: str = "sig",
+    sig_len: int | None = None,
 ) -> DataFrame:
     """Band the signatures and emit candidate pairs that collide in >=1 band.
 
     groupBy (band_idx, band_hash) keeps candidate generation linear in the
-    corpus; only same-bucket docs are paired.
+    corpus; only same-bucket docs are paired. Pass `sig_len` (the signature
+    length, i.e. num_hashes) to keep this a pure plan transformation; when
+    omitted it is probed with one tiny job (avoid in loops).
     """
-    sig_len_df = sig_df.select(F.size(sig_col).alias("n")).limit(1).collect()
-    rows_per_band = (sig_len_df[0]["n"] if sig_len_df else bands) // bands
+    if sig_len is None:
+        probe = sig_df.select(F.size(sig_col).alias("n")).limit(1).collect()
+        sig_len = probe[0]["n"] if probe else bands
+    rows_per_band = sig_len // bands
     banded = sig_df.select(
         F.col(id_col).alias("doc"),
         F.explode(
@@ -167,9 +205,16 @@ def minhash_near_dups(
     seed: int = 7,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures -> banded candidate
-    pairs -> estimated jaccard (signature agreement) >= threshold."""
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, n, seed)
-    cands = lsh_candidate_pairs(sigs, id_col, bands)
+    pairs -> estimated jaccard (signature agreement) >= threshold.
+
+    The signatures DataFrame feeds three consumers (both sides of the
+    banded self-join plus the agreement join); it is persisted so the
+    shingle explode + 16-hash fold — the expensive part — runs once, not
+    three times. The cached rows are NARROW (id + num_hashes longs), the
+    shape where caching wins (wide deserialized text rows would cost ~10x
+    the recompute)."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, n, seed).persist()
+    cands = lsh_candidate_pairs(sigs, id_col, bands, sig_len=num_hashes)
     a = sigs.withColumnsRenamed({id_col: "id_a", "sig": "sig_a"})
     b = sigs.withColumnsRenamed({id_col: "id_b", "sig": "sig_b"})
     est = F.aggregate(
@@ -190,6 +235,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     position; the sign of each bit's vote sum forms the fingerprint.
     Output: (id, simhash long). One explode + one groupBy with `bits`
     conditional sums — all codegen'd."""
+    df = _ensure_parallelism(df, id_col)
     tok = df.select(
         F.col(id_col),
         F.explode(F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")).alias("w"),
@@ -208,6 +254,15 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     return votes.select(id_col, acc.alias("simhash"))
 
 
+def hyperplane_matrix(hyperplanes: int, dim: int, seed: int = 7):
+    """Deterministic random-hyperplane matrix (hyperplanes x dim). Exposed
+    so oracles can restate the exact same bucket function."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.randn(hyperplanes, dim).astype(float)
+
+
 def embedding_near_dups(
     df: DataFrame,
     id_col: str,
@@ -215,23 +270,24 @@ def embedding_near_dups(
     threshold: float = 0.95,
     hyperplanes: int = 0,
     seed: int = 7,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (cos >= threshold, id_a < id_b).
 
-    hyperplanes=0 -> brute-force self-join (exact; quadratic — the small-N
-    baseline). hyperplanes=k -> random-hyperplane bucket join: docs must
-    agree on all k sign bits to be compared (the 100 TB path; recall
-    trades against k)."""
+    hyperplanes=0 -> brute-force self-join (exact; quadratic — ONLY a
+    small-N baseline, never the scale path). hyperplanes=k -> random-
+    hyperplane bucket join: docs must agree on all k sign bits to be
+    compared (the 100 TB path; recall trades against k). Pass `dim` to
+    avoid a driver probe of the vector length."""
     from go_tfdata_spark.functions.vectors import cosine_similarity
 
+    df = _ensure_parallelism(df, id_col)
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     if hyperplanes > 0:
-        dim = len(df.select(vec_col).first()[0])
-        import numpy as np
-
-        rng = np.random.RandomState(seed)
-        planes = rng.randn(hyperplanes, dim).astype(float)
+        if dim is None:
+            dim = len(df.select(vec_col).first()[0])
+        planes = hyperplane_matrix(hyperplanes, dim, seed)
         def bucket(vc):
             bits = [
                 (

@@ -42,8 +42,7 @@ class IVFIndex:
         n = df.count()
         stride = max(n // ncells, 1)
         cents = (
-            df.withColumn("_rn", F.monotonically_increasing_id())
-            .filter(F.pmod(F.col(id_col), F.lit(stride)) == 0)
+            df.filter(F.pmod(F.col(id_col), F.lit(stride)) == 0)
             .limit(ncells)
             .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cvec"))
         )
