@@ -44,7 +44,11 @@ HEADLINE = [
     "ann_topk",
 ]
 
-CDC_EVENTS = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", "20000000"))
+# 100M events (~26 GB of generated transcript payload): big enough that the
+# per-epoch fixed costs (job scheduling, manifest commit, driver planning —
+# ~5-10 s per replay) amortize below 5% of the lo-leg wall time; at 20M they
+# were ~30% of the hi leg, capping measurable scaling efficiency.
+CDC_EVENTS = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", "100000000"))
 CDC_EPOCHS = int(os.environ.get("SPARK_GRAFT_CDC_EPOCHS", "2"))
 CDC_TEXT_CHARS = int(os.environ.get("SPARK_GRAFT_CDC_TEXT_CHARS", "256"))
 
@@ -88,6 +92,13 @@ def cdc_replay_child(cores: int, n_events: int) -> None:
         # single box can't scale) into parallel CPU.
         "spark.io.compression.codec": "zstd",
         "spark.sql.parquet.compression.codec": "zstd",
+        # AQE off for the replay: the merge plan's partitioning is explicit
+        # (repartition to the write layout / fixed fold exchanges), so AQE
+        # has nothing useful to re-plan here — it only inserts driver-side
+        # re-optimization barriers between stages. Measured at 32 cores /
+        # 20M events: AQE on 35.9-64.0 s (high variance), off 30.1-36.5 s.
+        # Analytics sessions keep AQE on (session.py default).
+        "spark.sql.adaptive.enabled": "false",
     }
     if shm:
         conf["spark.local.dir"] = f"{shm}/spark-local-{cores}"
@@ -153,14 +164,19 @@ def _steal_pct(s0, s1):
     return round(100.0 * (s1[1] - s0[1]) / (s1[0] - s0[0]), 2)
 
 
-def calibrate_child(cores: int) -> None:
-    """Pure-CPU (codegen, no shuffle) scaling probe: the box's own ceiling.
+def calibrate_child(cores: int, kind: str = "cpu") -> None:
+    """Machine-ceiling probes: how far can ANY workload scale 8->32 threads
+    on this box (a Firecracker VM with noisy neighbors, one memory system).
 
-    A Firecracker VM with noisy neighbors + shared memory bandwidth cannot
-    scale even embarrassingly-parallel work 4x from 8->32 threads; this
-    measures how far ANY workload could scale here so the engine's CDC
-    efficiency can be read against it (real N->4N executors add memory
-    bandwidth + disks with the cores — this box does not)."""
+    - kind='cpu': pure arithmetic (xxhash over generated longs) — no DRAM
+      traffic beyond registers/cache. The absolute upper bound.
+    - kind='string': allocate + hash ~300-byte strings, the byte-traffic
+      profile of one transcript event through the fold — embarrassingly
+      parallel, NO shuffle, NO engine code, no Python. This is the honest
+      null model for a data-heavy job: real N->4N executors add memory
+      bandwidth and allocator arenas with the cores; one box does not, and
+      a memory-traffic-bound job cannot scale past the box's DRAM no matter
+      how it is partitioned."""
     import time as _t
 
     from pyspark.sql import functions as F
@@ -169,33 +185,49 @@ def calibrate_child(cores: int) -> None:
 
     spark = get_spark(f"cal-{cores}", cores=cores, shuffle_partitions=cores)
     spark.sparkContext.setLogLevel("ERROR")
-    expr = F.sum(F.pmod(F.xxhash64(F.col("id"), F.col("id") + 1, F.col("id") * 3), F.lit(1000)))
-    spark.range(10**8, numPartitions=cores * 4).select(expr).collect()  # warm
+    if kind == "string":
+        s = F.rpad(
+            F.concat(F.lit("text-"), F.col("id").cast("string")),
+            CDC_TEXT_CHARS,
+            " lorem ipsum dolor sit amet consectetur adipiscing elit sed do",
+        )
+        expr = F.sum(F.pmod(F.xxhash64(s), F.lit(1000)))
+        warm_n, n = 10**6, 2 * 10**8
+    else:
+        expr = F.sum(F.pmod(F.xxhash64(F.col("id"), F.col("id") + 1, F.col("id") * 3), F.lit(1000)))
+        warm_n, n = 10**8, 4 * 10**9
+    spark.range(warm_n, numPartitions=cores * 4).select(expr).collect()  # warm
     t0 = _t.time()
-    spark.range(4 * 10**9, numPartitions=cores * 4).select(expr).collect()
+    spark.range(n, numPartitions=cores * 4).select(expr).collect()
     dt = _t.time() - t0
     spark.stop()
-    print(json.dumps({"cores": cores, "sec": dt}))
+    print(json.dumps({"cores": cores, "sec": dt, "kind": kind}))
 
 
 def run_calibration(lo: int, hi: int) -> dict:
-    times = {}
-    for cores in (lo, hi):
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--calibrate-child", str(cores)],
-            capture_output=True, text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
-        )
-        line = [l for l in r.stdout.strip().splitlines() if l.startswith("{")][-1]
-        times[cores] = json.loads(line)["sec"]
-    return {
-        "cpu_sec_lo": round(times[lo], 2),
-        "cpu_sec_hi": round(times[hi], 2),
-        "machine_ceiling_efficiency": round((times[lo] / times[hi]) / (hi / lo), 3),
-    }
+    out = {}
+    for kind, prefix in (("cpu", "cpu"), ("string", "stringwork")):
+        times = {}
+        for cores in (lo, hi):
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--calibrate-child", str(cores), kind],
+                capture_output=True, text=True, cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            line = [l for l in r.stdout.strip().splitlines() if l.startswith("{")][-1]
+            times[cores] = json.loads(line)["sec"]
+        out[f"{prefix}_sec_lo"] = round(times[lo], 2)
+        out[f"{prefix}_sec_hi"] = round(times[hi], 2)
+        eff = round((times[lo] / times[hi]) / (hi / lo), 3)
+        if kind == "cpu":
+            out["machine_ceiling_efficiency"] = eff
+        else:
+            out["stringwork_ceiling_efficiency"] = eff
+    return out
 
 
-def run_cdc_scaling(n_events: int, lo: int = 8, hi: int = 32) -> dict:
-    reps = int(os.environ.get("SPARK_GRAFT_CDC_REPS", "2"))
+def run_cdc_scaling(n_events: int, lo: int = 8, hi: int = 32, reps: int | None = None) -> dict:
+    if reps is None:
+        reps = int(os.environ.get("SPARK_GRAFT_CDC_REPS", "2"))
     out = {}
     for cores in (lo, hi):
         best = None
@@ -235,7 +267,7 @@ def main() -> None:
         cdc_replay_child(int(sys.argv[2]), int(sys.argv[3]))
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--calibrate-child":
-        calibrate_child(int(sys.argv[2]))
+        calibrate_child(int(sys.argv[2]), sys.argv[3] if len(sys.argv) > 3 else "cpu")
         return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -248,12 +280,39 @@ def main() -> None:
         # Never lose the bench line to a failed/overlong CDC leg.
         try:
             cdc = run_cdc_scaling(CDC_EVENTS, lo, hi)
+            # Secondary pair at 2->8 cores: the SAME job and table layout
+            # with the hi leg far below the box's memory-system saturation
+            # point, isolating ENGINE scaling from single-box hardware
+            # limits (at 8->32 threads one VM cannot scale byte-heavy work
+            # 4x — see the stringwork calibration probe; real N->4N
+            # executors bring their own DRAM/allocators per node).
+            try:
+                eng = run_cdc_scaling(
+                    int(os.environ.get("SPARK_GRAFT_CDC_EVENTS_2TO8", "20000000")),
+                    lo=2, hi=8,
+                )
+                cal28 = run_calibration(2, 8)
+                eng["stringwork_ceiling_efficiency"] = cal28.get(
+                    "stringwork_ceiling_efficiency"
+                )
+                if eng["stringwork_ceiling_efficiency"]:
+                    eng["efficiency_vs_stringwork_ceiling"] = round(
+                        eng["scaling_efficiency"] / eng["stringwork_ceiling_efficiency"], 3
+                    )
+                cdc["engine_scaling_2to8"] = eng
+            except Exception as e:
+                cdc["engine_scaling_error"] = str(e)[:200]
             try:
                 cdc.update(run_calibration(lo, hi))
                 ceiling = cdc["machine_ceiling_efficiency"]
                 if ceiling:
                     cdc["efficiency_vs_machine_ceiling"] = round(
                         cdc["scaling_efficiency"] / ceiling, 3
+                    )
+                sw = cdc.get("stringwork_ceiling_efficiency")
+                if sw:
+                    cdc["efficiency_vs_stringwork_ceiling"] = round(
+                        cdc["scaling_efficiency"] / sw, 3
                     )
             except Exception as e:  # calibration is optional context
                 cdc["calibration_error"] = str(e)[:200]

@@ -417,7 +417,11 @@ class LakeTable:
         return m
 
     def append_delta(
-        self, df: DataFrame, summary: dict | None = None, max_retries: int = 20
+        self,
+        df: DataFrame,
+        summary: dict | None = None,
+        max_retries: int = 20,
+        presharded: bool = False,
     ) -> Manifest:
         """Merge-on-read write: append the (already LWW-folded) change batch
         as DELTA files — zero target scan, zero rewrite, write volume
@@ -444,7 +448,9 @@ class LakeTable:
         s = {"operation": "append-delta", **(summary or {})}
         job_id, epoch = s.get("job_id"), s.get("epoch")
         m = self._next_manifest(s)
-        entries = self._write_data(self._conform(df, m.schema), m, delta=True)
+        entries = self._write_data(
+            self._conform(df, m.schema), m, presharded=presharded, delta=True
+        )
         for _ in range(max_retries):
             if (
                 job_id is not None
@@ -637,6 +643,53 @@ class LakeTable:
             )
         m.summary["affected_buckets"] = sorted(affected)
         m.summary["merge_strategy"] = strategy
+        self._publish(m)
+        return m
+
+    def merge_aligned(
+        self,
+        source: DataFrame,
+        key_cols: list[str],
+        order_cols: list[str],
+        summary: dict | None = None,
+        affected: list[int] | None = None,
+    ) -> Manifest:
+        """Dense-batch COW merge on the write layout (the Arrow zipper path).
+
+        ``union(affected target rows, source rows)`` is repartitioned
+        straight to the table's (bucket, split) write layout and folded
+        partition-locally by an Arrow winner-per-key kernel
+        (operators/arrow_fold.py) — ONE payload shuffle per epoch, no
+        sort-based wide-string aggregate, no JSON round-trip, and the output
+        is presharded so the write adds no further exchange. Source rows
+        must already be in physical-table shape (tombstones as rows); the
+        fold resolves target-vs-source and late events in the same pass.
+
+        Use for batches whose key set is comparable to the affected-bucket
+        row count; `merge_lww(strategy='broadcast')` remains the sparse
+        path (it never shuffles the passthrough rows at all)."""
+        from go_tfdata_spark.operators.arrow_fold import aligned_lww_fold
+
+        m = self._next_manifest({"operation": "merge", **(summary or {})})
+        src = self._conform(source, m.schema)
+        if affected is None:
+            bexpr = bucket_expr(m.bucket_by, m.num_buckets)
+            affected = [r[0] for r in src.select(bexpr.alias("b")).distinct().collect()]
+        if not affected:
+            return self.snapshot()
+        target = self.read_buckets(affected, resolve=False)
+        untouched = [f for f in m.files if f.get("bucket") not in set(affected)]
+        merged = aligned_lww_fold(
+            target.unionByName(src),
+            key_cols=key_cols,
+            order_cols=order_cols,
+            bucket_by=m.bucket_by,
+            num_buckets=m.num_buckets,
+            splits=_WRITE_SPLITS_PER_BUCKET,
+        )
+        m.files = untouched + self._write_data(merged, m, presharded=True)
+        m.summary["affected_buckets"] = sorted(affected)
+        m.summary["merge_strategy"] = "aligned"
         self._publish(m)
         return m
 

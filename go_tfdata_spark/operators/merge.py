@@ -84,6 +84,34 @@ def validate_changes(
         )
 
 
+def physical_rows(
+    changes: DataFrame, key_cols: list[str] = list(KEY_COLUMNS)
+) -> DataFrame:
+    """Project raw change events to physical-table row shape WITHOUT
+    folding: op/lsn/src_part become _deleted/_lsn/_src_part and delete
+    events carry NULL payload (except the LWW order columns).
+
+    Pre-nulling delete payloads commutes with the fold — if a delete wins,
+    the winner row is identical to folding first; if it loses, its payload
+    is discarded either way — which is what lets the aligned merge fold
+    batch and target in ONE pass."""
+    is_del = F.col("op") == F.lit("D")
+    payload = [
+        c for c in changes.columns if c not in key_cols and c not in CHANGE_META
+    ]
+    cols = [F.col(c) for c in key_cols]
+    cols += [
+        (F.when(~is_del, F.col(c)).otherwise(F.lit(None)).alias(c) if c != "ts" else F.col(c))
+        for c in payload
+    ]
+    cols += [
+        F.col("lsn").alias("_lsn"),
+        F.col("src_part").alias("_src_part"),
+        is_del.alias("_deleted"),
+    ]
+    return changes.select(*cols)
+
+
 def fold_changes(
     changes: DataFrame,
     key_cols: list[str] = list(KEY_COLUMNS),
@@ -100,22 +128,7 @@ def fold_changes(
     """
     winners = lww_latest(changes, key_cols=key_cols, order_cols=order_cols,
                          salt_buckets=salt_buckets)
-    is_del = F.col("op") == F.lit("D")
-    payload = [
-        c for c in changes.columns if c not in key_cols and c not in CHANGE_META
-    ]
-    cols = [F.col(c) for c in key_cols]
-    # Delete winners carry NULL payload except the LWW ordering columns.
-    cols += [
-        (F.when(~is_del, F.col(c)).otherwise(F.lit(None)).alias(c) if c != "ts" else F.col(c))
-        for c in payload
-    ]
-    cols += [
-        F.col("lsn").alias("_lsn"),
-        F.col("src_part").alias("_src_part"),
-        is_del.alias("_deleted"),
-    ]
-    return winners.select(*cols)
+    return physical_rows(winners, key_cols)
 
 
 @dataclass
@@ -273,13 +286,6 @@ def apply_changes(
         if new_fields:
             table.update_schema(new_fields, summary={"job_id": job_id})
 
-    # The folded batch feeds three consumers (lineage agg, affected-bucket
-    # discovery, the merge write). Deliberately NOT persisted: caching wide
-    # text rows deserialized costs ~10x the fold itself (object+GC churn),
-    # and Catalyst column-prunes the recomputations — the lineage pass
-    # aggregates only (op, src_part), the bucket-discovery pass reduces to
-    # distinct keys; only the merge write pays for the full payload fold.
-    folded = fold_changes(changes, key_cols, order_cols, salt_buckets)
     if precomputed is not None:
         lineage = precomputed.get("lineage", [])
         affected = precomputed.get("affected")
@@ -293,27 +299,60 @@ def apply_changes(
     )
     if strategy == "auto":
         # Sparse batches (key set small enough to BROADCAST) -> passthrough
-        # merge; dense batches -> single-shuffle union fold. Gated on the
-        # estimated broadcast BYTES, not a row count: the hint is honored
-        # unconditionally by Spark, so the gate must bound driver memory.
-        # The distinct-key count comes free from the lineage aggregate.
+        # merge (target rows never shuffle); dense batches -> the aligned
+        # Arrow merge (ONE payload shuffle straight onto the write layout).
+        # Gated on the estimated broadcast BYTES, not a row count: the hint
+        # is honored unconditionally by Spark, so the gate must bound driver
+        # memory. The distinct-key count comes free from the lineage agg.
         from go_tfdata_spark.lake.table import _BROADCAST_MAX_BYTES
 
         est_key_bytes = 96  # conv_id string + turn_idx int, pessimistic
         strategy = (
             "broadcast"
             if (batch_keys is not None and batch_keys * est_key_bytes <= _BROADCAST_MAX_BYTES)
-            else "shuffle"
+            else "aligned"
         )
-    if strategy == "mor":
+    phys_order = ["ts", "_lsn", "_src_part"]
+    if strategy == "aligned":
+        # No separate batch fold: physical-shape rows (tombstones pre-nulled
+        # — commutes with the fold, see physical_rows) union the affected
+        # target rows and fold ONCE on the write layout.
+        m = table.merge_aligned(
+            physical_rows(changes, key_cols),
+            key_cols=key_cols,
+            order_cols=phys_order,
+            summary=summary,
+            affected=affected,
+        )
+    elif strategy == "mor":
         # merge-on-read: append the folded batch as delta files (write
-        # O(batch), no target scan); reads/compaction resolve LWW.
-        m = table.append_delta(folded, summary=summary)
+        # O(batch), no target scan); reads/compaction resolve LWW. The batch
+        # fold runs on the write layout (Arrow kernel) so the delta write is
+        # presharded — one payload shuffle, like the aligned COW path.
+        from go_tfdata_spark.lake.table import _WRITE_SPLITS_PER_BUCKET
+        from go_tfdata_spark.operators.arrow_fold import aligned_lww_fold
+
+        snap = table.snapshot()
+        folded = aligned_lww_fold(
+            physical_rows(changes, key_cols),
+            key_cols=key_cols,
+            order_cols=phys_order,
+            bucket_by=snap.bucket_by,
+            num_buckets=snap.num_buckets,
+            splits=_WRITE_SPLITS_PER_BUCKET,
+        )
+        m = table.append_delta(folded, summary=summary, presharded=True)
     else:
+        # broadcast / shuffle COW paths take the pre-folded batch. The fold
+        # output feeds bucket discovery and the merge write; deliberately
+        # NOT persisted: caching wide text rows deserialized costs ~10x the
+        # fold itself (object+GC churn) and Catalyst column-prunes the
+        # recomputations.
+        folded = fold_changes(changes, key_cols, order_cols, salt_buckets)
         m = table.merge_lww(
             folded,
             key_cols=key_cols,
-            order_cols=["ts", "_lsn", "_src_part"],
+            order_cols=phys_order,
             summary=summary,
             strategy=strategy,
             affected=affected,

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Callable, Iterator
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -70,6 +71,72 @@ def vectorized(
     return _stage
 
 
+def _zigzag_varint(b: bytes) -> int:
+    """Go binary.ReadVarint: unsigned varint, then zigzag to signed."""
+    x = 0
+    shift = 0
+    for byte in b:
+        x |= (byte & 0x7F) << shift
+        if not byte & 0x80:
+            break
+        shift += 7
+    return (x >> 1) ^ -(x & 1)
+
+
+def _binary_decoder(dt: T.DataType):
+    """Reference TypesMap byte decodes (transformer.go:148-183): varint
+    int64, LE float32 bits, LE int64 / float32 arrays. Returns a column
+    transformer or None when the target type has no byte codec.
+
+    Cold-path codec for ingesting reference-style raw byte payloads; runs
+    as an Arrow-batched pandas UDF (per-cell decode of an opaque byte blob
+    is inherently scalar work — this is not a hot-path operator)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    if isinstance(dt, T.LongType):
+
+        @pandas_udf("long")
+        def dec_i64(s: pd.Series) -> pd.Series:
+            return s.map(lambda b: None if b is None else _zigzag_varint(bytes(b)))
+
+        return dec_i64
+    if isinstance(dt, T.FloatType):
+
+        @pandas_udf("float")
+        def dec_f32(s: pd.Series) -> pd.Series:
+            import struct
+
+            return s.map(
+                lambda b: None if b is None else struct.unpack("<f", bytes(b)[:4])[0]
+            )
+
+        return dec_f32
+    if isinstance(dt, T.ArrayType) and isinstance(dt.elementType, T.LongType):
+
+        @pandas_udf("array<long>")
+        def dec_i64s(s: pd.Series) -> pd.Series:
+            return s.map(
+                lambda b: None
+                if b is None
+                else np.frombuffer(bytes(b), dtype="<i8").tolist()
+            )
+
+        return dec_i64s
+    if isinstance(dt, T.ArrayType) and isinstance(dt.elementType, T.FloatType):
+
+        @pandas_udf("array<float>")
+        def dec_f32s(s: pd.Series) -> pd.Series:
+            return s.map(
+                lambda b: None
+                if b is None
+                else np.frombuffer(bytes(b), dtype="<f4").tolist()
+            )
+
+        return dec_f32s
+    return None
+
+
 def cast_to_schema(
     df: DataFrame, target: T.StructType, carry_unknown: bool = True
 ) -> DataFrame:
@@ -77,12 +144,26 @@ def cast_to_schema(
     core/example.go:40-46): declared fields are cast to their target types;
     fields NOT in the schema are either carried unchanged (`carry_unknown`,
     the open-schema bytes-fallback stance of transformer.go:135-142 — the
-    caller later promotes them via LakeTable.update_schema) or dropped."""
+    caller later promotes them via LakeTable.update_schema) or dropped.
+
+    BINARY source columns with numeric/array targets decode via the
+    reference's wire conventions (transformer.go:148-183): zigzag-varint
+    int64, little-endian float32 bits, little-endian int64/float32 arrays —
+    a plain cast() cannot reinterpret raw bytes."""
     cols = []
+    types = {f.name: f.dataType for f in df.schema.fields}
     declared = {f.name: f for f in target.fields}
     for c in df.columns:
         if c in declared:
-            cols.append(F.col(c).cast(declared[c].dataType).alias(c))
+            want = declared[c].dataType
+            if isinstance(types[c], T.BinaryType) and not isinstance(
+                want, (T.BinaryType, T.StringType)
+            ):
+                dec = _binary_decoder(want)
+                if dec is not None:
+                    cols.append(dec(F.col(c)).cast(want).alias(c))
+                    continue
+            cols.append(F.col(c).cast(want).alias(c))
         elif carry_unknown:
             cols.append(F.col(c))
     # Declared-but-missing fields surface as typed NULLs (additive tolerance).

@@ -172,9 +172,9 @@ def test_invalid_batch_fails_fast(spark, tmp_path):
         apply_changes(table, bad, job_id="j", epoch=0)
 
 
-def test_auto_strategy_dense_batch_goes_shuffle(spark, tmp_path):
+def test_auto_strategy_dense_batch_goes_aligned(spark, tmp_path):
     """A batch whose key set exceeds the broadcast byte budget must take the
-    single-shuffle union-fold path — no forced driver broadcast at scale."""
+    aligned one-shuffle merge — no forced driver broadcast at scale."""
     from go_tfdata_spark.operators.merge import apply_changes
 
     table = create_transcripts_table(
@@ -188,7 +188,7 @@ def test_auto_strategy_dense_batch_goes_shuffle(spark, tmp_path):
         precomputed={"lineage": huge, "affected": None},
     )
     assert not r.skipped
-    assert table.snapshot().summary["merge_strategy"] == "shuffle"
+    assert table.snapshot().summary["merge_strategy"] == "aligned"
     # and a genuinely sparse batch still picks broadcast
     changes2 = synthetic_changes(spark, seed=8, n_events=200, n_epochs=1)
     small = [{"src_part": 0, "offsets_applied": 200, "rows_upserted": 150,
@@ -198,3 +198,42 @@ def test_auto_strategy_dense_batch_goes_shuffle(spark, tmp_path):
         precomputed={"lineage": small, "affected": None},
     )
     assert table.snapshot().summary["merge_strategy"] == "broadcast"
+
+
+@pytest.mark.parametrize(
+    "kwargs,name",
+    [
+        (dict(n_events=2000, delete_frac=0.15, late_frac=0.0, n_epochs=3), "al-tomb"),
+        (dict(n_events=2000, delete_frac=0.10, late_frac=0.30, n_epochs=4), "al-late"),
+        (dict(n_events=3000, delete_frac=0.05, late_frac=0.10, n_epochs=3, skew=3.0, n_convs=20), "al-skew"),
+    ],
+)
+def test_aligned_replay_matches_oracle(spark, tmp_path, kwargs, name):
+    """The Arrow zipper merge (one payload shuffle on the write layout) must
+    produce the identical final state as the sequential per-event oracle."""
+    changes = synthetic_changes(spark, seed=43, **kwargs)
+    table, _ = _roundtrip(spark, tmp_path, changes, name, merge_strategy="aligned")
+    assert table.snapshot().summary["merge_strategy"] == "aligned"
+
+
+def test_aligned_merge_write_is_presharded(spark, tmp_path):
+    """Aligned merges write straight from the fold's partitioning: file
+    count per commit stays bounded by buckets x splits and every file holds
+    one bucket."""
+    table = create_transcripts_table(
+        spark, str(tmp_path / "alp"), TRANSCRIPTS_SCHEMA, num_buckets=8
+    )
+    changes = synthetic_changes(spark, seed=5, n_events=4000, n_epochs=1)
+    replay(table, changes, job_id="alp", merge_strategy="aligned")
+    m = table.snapshot()
+    assert len(m.files) <= 8 * 4
+    assert {f["bucket"] for f in m.files} <= set(range(8))
+
+
+def test_mor_arrow_fold_matches_oracle(spark, tmp_path):
+    changes = synthetic_changes(spark, seed=44, n_events=2500, n_epochs=3,
+                                delete_frac=0.1, late_frac=0.2)
+    table, _ = _roundtrip(spark, tmp_path, changes, "mor-arrow", merge_strategy="mor")
+    table.compact()
+    oracle = sequential_apply(changes.toPandas(), PAYLOAD)
+    assert_final_state_equal(read_table(table), oracle)

@@ -186,3 +186,48 @@ def test_skew_stats_and_salt_recommendation(spark):
     assert recommend_salt_buckets(s, shuffle_partitions=8) > 1
     uniform = skew_stats(spark.createDataFrame([(f"k{i}", i) for i in range(100)], "k string, v long"), ["k"])
     assert recommend_salt_buckets(uniform, shuffle_partitions=8) == 1
+
+
+def test_cast_decodes_reference_byte_payloads(spark):
+    """TypesMap byte decodes (transformer.go:148-183): zigzag-varint int64,
+    LE float32 bits, LE int64/float32 arrays from raw binary columns."""
+    import struct
+
+    from pyspark.sql import types as T
+
+    from go_tfdata_spark.operators.transform import cast_to_schema
+
+    def zigzag_varint(v: int) -> bytes:
+        u = (v << 1) ^ (v >> 63) if v < 0 else v << 1
+        out = bytearray()
+        while True:
+            b = u & 0x7F
+            u >>= 7
+            if u:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                return bytes(out)
+
+    rows = [
+        (
+            zigzag_varint(-12345),
+            struct.pack("<f", 2.5),
+            struct.pack("<3q", 7, -8, 9),
+            struct.pack("<2f", 1.5, -0.25),
+        )
+    ]
+    df = spark.createDataFrame(rows, "i binary, f binary, il binary, fl binary")
+    target = T.StructType(
+        [
+            T.StructField("i", T.LongType()),
+            T.StructField("f", T.FloatType()),
+            T.StructField("il", T.ArrayType(T.LongType())),
+            T.StructField("fl", T.ArrayType(T.FloatType())),
+        ]
+    )
+    r = cast_to_schema(df, target).collect()[0]
+    assert r.i == -12345
+    assert r.f == 2.5
+    assert r.il == [7, -8, 9]
+    assert r.fl == [1.5, -0.25]
