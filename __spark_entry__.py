@@ -395,6 +395,59 @@ def _tar_fixture(n: int = 10) -> str:
     return path
 
 
+def _q_tfrecord_roundtrip(spark, sf):
+    """Distributed TFRecord sink+source round-trip (S8-S15): documents ->
+    framed+CRC'd shards -> read back -> per-language aggregate. The oracle
+    aggregates the source table directly — equality proves the round-trip
+    is lossless and order-insensitive (the reference's async sink is
+    unordered, tfrecord.go:170-175)."""
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from go_tfdata_spark.sources.tfrecord import read_tfrecords, write_tfrecords
+
+    docs = _t(spark, sf, "documents").select("doc_id", "lang", "text")
+    out = os.path.join(tempfile.gettempdir(), "go_tfdata_spark_tfr_rt")
+    shutil.rmtree(out, ignore_errors=True)
+    write_tfrecords(docs, out)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    back = read_tfrecords(spark, out, schema)
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum("doc_id").alias("id_sum"),
+        F.sum(F.length("text")).alias("chars"),
+    )
+
+
+def _q_frame_sample(spark, sf):
+    """Video frame-sampling plumbing: per-media synthetic frame index from
+    metadata, keep every 10th frame (multimodal §: frame-sample before
+    decode)."""
+    from go_tfdata_spark.functions.multimodal import frame_sample
+
+    docs = _t(spark, sf, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.create_map(
+            F.lit("n_frames"), (F.pmod(F.col("doc_id"), F.lit(50)) + 1).cast("string")
+        ).alias("meta"),
+    )
+    out = frame_sample(media, every_nth=10)
+    return out.groupBy("media_id").agg(
+        F.count("*").alias("frames_kept"),
+        F.max("frame_idx").alias("last_frame"),
+    )
+
+
 def _q_props_sum(spark, sf):
     """JSON-ish payload extraction (from_json analog of the reference's JSON
     marshal fallback) aggregated per user."""
@@ -585,6 +638,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_plumbing": _q_media_plumbing,
         "embedding_near_dups_lsh": _q_embedding_near_dups_lsh,
         "tar_ingest": _q_tar_ingest,
+        "tfrecord_roundtrip": _q_tfrecord_roundtrip,
+        "frame_sample": _q_frame_sample,
         "lsh_candidates": _q_lsh_candidates,
         "hot_keys": _q_hot_keys,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -902,6 +957,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_near_dups_lsh": _embedding_lsh_sql(),
         "tar_ingest": _tar_ingest_sql(),
+        # tfrecord_roundtrip: the oracle aggregates the SOURCE table —
+        # equality across the write->read round-trip proves losslessness.
+        "tfrecord_roundtrip": """
+          SELECT lang, count(*) AS n, sum(doc_id)::BIGINT AS id_sum,
+                 sum(length(text))::BIGINT AS chars
+          FROM documents GROUP BY lang
+        """,
+        "frame_sample": """
+          SELECT doc_id AS media_id,
+                 ((doc_id % 50) // 10 + 1)::BIGINT AS frames_kept,
+                 (10 * ((doc_id % 50) // 10))::INTEGER AS last_frame
+          FROM documents
+        """,
     }
 
 

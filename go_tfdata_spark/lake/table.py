@@ -723,11 +723,31 @@ class LakeTable:
         ]
         if not todo:
             return self.snapshot()
-        df = self.read_buckets(todo)
-        if purge_tombstones and deleted_col in df.columns:
-            df = df.filter(~F.coalesce(F.col(deleted_col), F.lit(False)))
         kept = [f for f in m.files if f.get("bucket") not in set(todo)]
-        m.files = kept + self._write_data(df, m)
+        if m.key_cols and m.order_cols:
+            # Keyed table: resolve (MOR deltas + duplicate versions) with the
+            # bucket-aligned Arrow fold — one shuffle straight onto the write
+            # layout, presharded write (vs encoded fold + a second
+            # repartition). Tombstone purge must follow resolution: dropping
+            # tombstone rows first would let an older live version win.
+            from go_tfdata_spark.operators.arrow_fold import aligned_lww_fold
+
+            df = aligned_lww_fold(
+                self.read_buckets(todo, resolve=False),
+                key_cols=m.key_cols,
+                order_cols=m.order_cols,
+                bucket_by=m.bucket_by,
+                num_buckets=m.num_buckets,
+                splits=_WRITE_SPLITS_PER_BUCKET,
+            )
+            if purge_tombstones and deleted_col in df.columns:
+                df = df.filter(~F.coalesce(F.col(deleted_col), F.lit(False)))
+            m.files = kept + self._write_data(df, m, presharded=True)
+        else:
+            df = self.read_buckets(todo)
+            if purge_tombstones and deleted_col in df.columns:
+                df = df.filter(~F.coalesce(F.col(deleted_col), F.lit(False)))
+            m.files = kept + self._write_data(df, m)
         m.summary["compacted_buckets"] = sorted(todo)
         self._publish(m)
         return m
