@@ -283,6 +283,13 @@ def run_cdc_scaling(n_events: int, lo: int = 8, hi: int = 32, reps: int | None =
     }
 
 
+_T_START = time.time()
+# Soft wall-clock budget: the secondary (8->32 @100M) pair is skipped when
+# the primary pair + calibration already consumed the budget, so the bench
+# always emits its JSON line well inside any outer harness timeout.
+_BENCH_BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "2400"))
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--cdc-child":
         cdc_replay_child(int(sys.argv[2]), int(sys.argv[3]))
@@ -322,7 +329,13 @@ def main() -> None:
             # not the engine, binds at 32 threads: compare its raw
             # efficiency against its own stringwork ceiling).
             try:
-                sat = run_cdc_scaling(CDC_EVENTS_SAT, 8, 32, reps=2)
+                remaining = _BENCH_BUDGET_SEC - (time.time() - _T_START)
+                sat_reps = 2 if remaining > 1200 else (1 if remaining > 700 else 0)
+                if sat_reps == 0:
+                    raise RuntimeError(
+                        f"skipped: {remaining:.0f}s left of {_BENCH_BUDGET_SEC:.0f}s budget"
+                    )
+                sat = run_cdc_scaling(CDC_EVENTS_SAT, 8, 32, reps=sat_reps)
                 sat.update(run_calibration(8, 32))
                 if sat.get("machine_ceiling_efficiency"):
                     sat["efficiency_vs_machine_ceiling"] = round(
