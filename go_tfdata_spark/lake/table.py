@@ -257,24 +257,36 @@ class LakeTable:
     def current_version(self) -> int | None:
         v = self._seen_version
         if v is None:
-            d = os.path.join(self.path, _MANIFEST_DIR)
-            if not os.path.isdir(d):
+            v = self._listdir_version()
+            if v is None:
                 return None
-            versions = [
-                int(f[1:-5])
-                for f in os.listdir(d)
-                if f.startswith("v") and f.endswith(".json")
-            ]
-            if not versions:
-                return None
-            v = max(versions)
         # The max version only ever grows and vacuum never deletes the
         # newest kept manifests, so probing forward from any version that
-        # once existed always lands on the current max.
+        # once existed always lands on the current max...
         while os.path.exists(self._manifest_path(v + 1)):
             v += 1
+        # ...UNLESS another process's vacuum() deleted everything up to and
+        # including the cached version: then the probe start itself is gone
+        # and the forward walk finds nothing. Re-list instead of trusting a
+        # stale cache forever (the pre-cache listdir behavior).
+        if not os.path.exists(self._manifest_path(v)):
+            self._seen_version = None
+            v = self._listdir_version()
+            if v is None:
+                return None
         self._seen_version = v
         return v
+
+    def _listdir_version(self) -> int | None:
+        d = os.path.join(self.path, _MANIFEST_DIR)
+        if not os.path.isdir(d):
+            return None
+        versions = [
+            int(f[1:-5])
+            for f in os.listdir(d)
+            if f.startswith("v") and f.endswith(".json")
+        ]
+        return max(versions) if versions else None
 
     def snapshot(self, version: int | None = None) -> Manifest:
         v = version if version is not None else self.current_version()

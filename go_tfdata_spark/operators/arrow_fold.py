@@ -10,14 +10,20 @@ hash-aggregate) plus a to_json/from_json round-trip.
 This module folds ON the write layout instead:
 
     repartition(num_buckets * splits, bucket(key), split(key))
-      -> mapInPandas partition-local winner-per-key (Arrow-batched,
-         vectorized sort + drop_duplicates; no JSON, no wide sort-agg)
+      -> mapInArrow partition-local winner-per-key (stable Arrow sort +
+         group_by max-position; no JSON, no wide sort-agg)
       -> rows are already presharded for the bucket-partitioned write
 
 ONE payload shuffle total, zero payload serialization detours, and the
 fold's CPU runs in per-task Python workers (separate processes — on a
 32-thread single JVM this also sidesteps allocator/memory-manager lock
 contention; on a real cluster it is simply an Arrow pipeline).
+
+The fold is pyarrow end-to-end (mapInArrow), never pandas: the Arrow->
+pandas conversion silently widens nullable int64 to float64, corrupting
+payload values above 2^53 whenever a tombstone nulls a bigint column in
+the same partition. Staying in Arrow keeps every column's physical type
+bit-exact through the fold.
 
 Correctness: bucket and split are pure functions of the bucket key, so all
 rows of one (conv_id, turn_idx) land in one partition and a partition-local
@@ -36,6 +42,33 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _winner_table(tbl, key_cols: list[str], sort_cols: list[str]):
+    """Keep the last-per-key row of a stable ascending sort (NULLs lowest).
+
+    Pure pyarrow: stable sort_indices -> positional index -> group_by max
+    position -> take. Later concat positions win exact order ties, matching
+    the engine's arrival-order tiebreak for equal (ts, lsn, src_part).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    idx = pc.sort_indices(
+        tbl,
+        sort_keys=[(c, "ascending") for c in sort_cols],
+        null_placement="at_start",
+    )
+    srt = tbl.take(idx)
+    pos = pa.chunked_array([pa.array(range(len(srt)), type=pa.int64())])
+    pos_name = "__pos__"
+    while pos_name in srt.column_names:
+        pos_name = "_" + pos_name
+    keyed = srt.select(key_cols).append_column(pos_name, pos)
+    win_pos = keyed.group_by(key_cols, use_threads=False).aggregate(
+        [(pos_name, "max")]
+    )[f"{pos_name}_max"]
+    return srt.take(win_pos)
+
+
 def aligned_lww_fold(
     df: DataFrame,
     key_cols: list[str],
@@ -52,7 +85,7 @@ def aligned_lww_fold(
     `bucket_col` is given, the bucket id is kept as that output column
     (callers writing with partitionBy can reuse it instead of recomputing).
     """
-    import pandas as pd
+    import pyarrow as pa
 
     from go_tfdata_spark.lake.table import bucket_expr
 
@@ -65,37 +98,33 @@ def aligned_lww_fold(
 
     def fold(batches):
         # Amortized incremental fold: buffer Arrow batches and only squash
-        # (concat + sort + drop_duplicates) once the buffer reaches the
-        # current winner-set size — O(1) amortized copies per row. Folding
-        # on EVERY batch would re-copy the full winner set per 10k-row
-        # batch: O(batches x winners) memcpy, measured collapsing a
-        # 100M-event fold to half the cluster idle.
-        winners = None
+        # (concat + sort + dedup) once the buffer reaches the current
+        # winner-set size — O(1) amortized copies per row. Folding on EVERY
+        # batch would re-copy the full winner set per 10k-row batch:
+        # O(batches x winners) memcpy, measured collapsing a 100M-event
+        # fold to half the cluster idle.
+        winners = None  # pa.Table
         buf: list = []
         buf_rows = 0
 
         def squash():
             nonlocal winners, buf, buf_rows
-            frames = ([winners] if winners is not None else []) + buf
-            if not frames:
+            tables = ([winners] if winners is not None else []) + buf
+            if not tables:
                 return
-            cur = pd.concat(frames, ignore_index=True)
-            # max over order_cols per key: ascending sort (NULLs lowest,
-            # matching the engine's NULL-orders-lowest total order; winners
-            # concatenated FIRST so later arrivals win exact order ties),
-            # then keep the last occurrence per key.
-            cur = cur.sort_values(sort_cols, kind="stable", na_position="first")
-            winners = cur.drop_duplicates(key_cols, keep="last")
+            cur = pa.concat_tables(tables).combine_chunks()
+            winners = _winner_table(cur, key_cols, sort_cols)
             buf, buf_rows = [], 0
 
-        for pdf in batches:
-            buf.append(pdf)
-            buf_rows += len(pdf)
+        for rb in batches:
+            t = pa.Table.from_batches([rb]).select(cols)
+            buf.append(t)
+            buf_rows += len(t)
             if buf_rows >= max(64_000, 0 if winners is None else len(winners)):
                 squash()
         squash()
         if winners is not None and len(winners):
-            yield winners[cols]
+            yield from winners.select(cols).to_batches(max_chunksize=65_536)
 
     rep = work.repartition(
         num_buckets * splits,
@@ -104,4 +133,4 @@ def aligned_lww_fold(
     )
     if not keep_bucket:
         rep = rep.drop(bcol)  # partitioning already imposed; column not needed
-    return rep.mapInPandas(fold, out_schema)
+    return rep.mapInArrow(fold, out_schema)

@@ -170,6 +170,21 @@ def test_vacuum_removes_old_versions_keeps_ledger(spark, tmp_path):
     assert t.read().count() == before
 
 
+def test_stale_version_cache_recovers_after_foreign_vacuum(spark, tmp_path):
+    """A handle whose cached version was vacuumed away by ANOTHER process
+    must fall back to the directory listing, not return the deleted version
+    forever (regression: forward-probe assumed contiguity from the cache)."""
+    a = _mk(spark, tmp_path, name="vc")
+    a.append(spark.createDataFrame([("a", 1, "x")], SCHEMA))
+    assert a.current_version() == 2  # cache now holds 2
+    b = LakeTable.load(spark, str(tmp_path / "vc"))
+    for i in range(5):
+        b.append(spark.createDataFrame([(f"c{i}", i, "y")], SCHEMA))
+    b.vacuum(keep_versions=1)  # deletes manifests 1..6, incl. a's cached 2
+    assert a.current_version() == 7
+    assert a.read().count() == 6  # snapshot() works again
+
+
 def test_concurrent_writers_one_wins(spark, tmp_path):
     """Optimistic concurrency: two writers committing against the same
     parent version -> exactly one succeeds, the other gets CommitConflict
