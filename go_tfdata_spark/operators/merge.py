@@ -421,12 +421,15 @@ def replay(
 
 def lineage_metrics(table: LakeTable, job_id: str | None = None) -> DataFrame:
     """Materialize the lineage table (FIXTURES.md §5) from the manifest chain."""
+    from datetime import datetime
+
     rows = []
     for m in table.history():
         s = m.summary
         if "epoch" not in s or (job_id and s.get("job_id") != job_id):
             continue
         for ln in s.get("lineage", []):
+            wm = ln.get("watermark")
             rows.append(
                 (
                     s.get("job_id"),
@@ -435,7 +438,7 @@ def lineage_metrics(table: LakeTable, job_id: str | None = None) -> DataFrame:
                     ln["offsets_applied"],
                     ln["rows_upserted"],
                     ln["rows_deleted"],
-                    None,
+                    datetime.fromisoformat(wm) if wm else None,
                 )
             )
     df = table.spark.createDataFrame(rows, LINEAGE_SCHEMA)

@@ -263,7 +263,7 @@ def write_tfexamples(df: DataFrame, out_dir: str) -> int:
     import os
     import uuid
 
-    from go_tfdata_spark.sources.tfrecord import frame_record
+    from go_tfdata_spark.sources.tfrecord import frame_records
 
     os.makedirs(out_dir, exist_ok=True)
     cols = df.columns
@@ -275,6 +275,7 @@ def write_tfexamples(df: DataFrame, out_dir: str) -> int:
         n = 0
         with open(path, "wb") as f:
             for pdf in batches:
+                payloads = []
                 for i in range(len(pdf)):
                     feats: dict = {}
                     for c in ("bytes_features", "float_features", "int64_features"):
@@ -284,8 +285,9 @@ def write_tfexamples(df: DataFrame, out_dir: str) -> int:
                                 items = m.items() if hasattr(m, "items") else m
                                 for k, v in items:
                                     feats[k] = list(v)
-                    f.write(frame_record(encode_example(feats)))
-                    n += 1
+                    payloads.append(encode_example(feats))
+                f.write(frame_records(payloads))  # CRCs batch-vectorized
+                n += len(payloads)
         if n == 0:
             os.unlink(path)
         yield pd.DataFrame({"n": [n]})

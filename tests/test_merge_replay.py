@@ -9,6 +9,7 @@ from __future__ import annotations
 from datetime import datetime
 
 import pytest
+from pyspark.sql import functions as F
 
 from go_tfdata_spark.model import CHANGES_SCHEMA, TRANSCRIPTS_SCHEMA
 from go_tfdata_spark.operators.merge import (
@@ -117,6 +118,17 @@ def test_lineage_metrics(spark, tmp_path):
     assert lm.offsets_applied.sum() == 1000
     assert set(lm.epoch.unique()) == {0, 1}
     assert lm.src_part.nunique() == 4
+    # watermark is materialized (not NULL) and equals max(ts) per
+    # (epoch, src_part) of the change stream (regression: the column was
+    # silently dropped to NULL on materialization)
+    assert lm.watermark.notna().all()
+    expect = (
+        changes.groupBy("epoch", "src_part").agg(F.max("ts").alias("wm")).collect()
+    )
+    got = {(int(r.epoch), int(r.src_part)): r.watermark for r in
+           lineage_metrics(table, "j").collect()}
+    for r in expect:
+        assert got[(int(r.epoch), int(r.src_part))] == r.wm
 
 
 def test_mor_replay_matches_oracle_and_compacts(spark, tmp_path):

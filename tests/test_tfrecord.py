@@ -22,6 +22,22 @@ def test_crc32c_known_vectors():
     assert crc32c(bytes(32)) == 0x8A9136AA
 
 
+def test_crc32c_vectorized_paths_match_bytewise():
+    """The numpy batch kernel (size-classed columns) and the chunk+GF(2)
+    combine path must agree bit-exactly with the reference table loop across
+    size-class and chunk boundaries."""
+    import random
+
+    from go_tfdata_spark.sources.tfrecord import _CHUNK, _crc32c_py, crc32c_many
+
+    rng = random.Random(7)
+    sizes = [0, 1, 3, 4, 5, 8, 9, 100, 1023, 1024, 1025,
+             4 * _CHUNK - 1, 4 * _CHUNK, 4 * _CHUNK + 1, 10 * _CHUNK + 13]
+    payloads = [rng.randbytes(n) for n in sizes]
+    assert crc32c_many(payloads) == [_crc32c_py(p) for p in payloads]
+    assert [crc32c(p) for p in payloads] == [_crc32c_py(p) for p in payloads]
+
+
 def test_masked_crc_mask_math():
     # mask = ((crc>>15)|(crc<<17)) + 0xa282ead8  (crc.go:28-31)
     c = crc32c(b"123456789")
