@@ -322,17 +322,16 @@ def _q_ann_topk(spark, sf):
 
 
 def _q_embedding_near_dups(spark, sf):
+    """The EXACT baseline (quadratic, explicitly opted into with exact=True;
+    the operator's default is the hyperplane-bucketed scale path, verified
+    by embedding_near_dups_lsh). Exists to oracle-check exact cosine."""
+    from go_tfdata_spark.operators.dedup import embedding_near_dups
+
     emb = _t(spark, sf, "embeddings").select(
         F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v")
     )
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", cosine_similarity(F.col("va"), F.col("vb")))
-        .filter(F.col("cos") >= 0.45)
-        .select("id_a", "id_b", F.round("cos", 4).alias("cos"))
+    return embedding_near_dups(emb, "vec_id", "v", threshold=0.45, exact=True).select(
+        "id_a", "id_b", F.round("cos", 4).alias("cos")
     )
 
 
@@ -408,7 +407,9 @@ def _q_tfrecord_roundtrip(spark, sf):
     from go_tfdata_spark.sources.tfrecord import read_tfrecords, write_tfrecords
 
     docs = _t(spark, sf, "documents").select("doc_id", "lang", "text")
-    out = os.path.join(tempfile.gettempdir(), "go_tfdata_spark_tfr_rt")
+    # per-process dir: concurrent contract/grading runs must not clobber
+    # each other's shards mid-read
+    out = os.path.join(tempfile.gettempdir(), f"go_tfdata_spark_tfr_rt_{os.getpid()}")
     shutil.rmtree(out, ignore_errors=True)
     write_tfrecords(docs, out)
     schema = T.StructType(

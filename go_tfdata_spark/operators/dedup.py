@@ -26,6 +26,26 @@ from go_tfdata_spark.functions.text import fingerprint, rolling_hash, word_shing
 
 _MERSENNE = 2**31 - 1
 
+# Narrow intermediates persisted by the multi-consumer pipelines below
+# (exploded shingles, minhash signatures). Their consumers are lazy, so the
+# operator cannot unpersist before returning; instead each new dedup
+# invocation releases the previous invocation's caches (`_take_cache`), so a
+# long-lived session holds at most one invocation's worth of cached blocks.
+_LIVE_CACHES: list = []
+
+
+def _take_cache(df: DataFrame) -> DataFrame:
+    release_caches()
+    df = df.persist()
+    _LIVE_CACHES.append(df)
+    return df
+
+
+def release_caches() -> None:
+    """Drop cached dedup intermediates (also callable by long-lived apps)."""
+    while _LIVE_CACHES:
+        _LIVE_CACHES.pop().unpersist()
+
 
 def _ensure_parallelism(df: DataFrame, *cols: str) -> DataFrame:
     """Spread a narrow input across the cluster before an expensive
@@ -35,8 +55,38 @@ def _ensure_parallelism(df: DataFrame, *cols: str) -> DataFrame:
     Bytes), which would serialize the whole explode on one core — measured
     7s of a 14s query at sf0.1. At real scale inputs already carry thousands
     of splits and this is a no-op (we only repartition when the scan has
-    materially fewer partitions than the cluster has slots)."""
+    materially fewer partitions than the cluster has slots). Partition-count
+    introspection prefers the scan's file listing (plan-only); the RDD
+    conversion fallback only runs for non-scan inputs."""
     want = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if files:
+        if len(files) * 2 >= want:
+            return df  # enough splits already; no RDD conversion, no shuffle
+        # Few files: only tiny ones imply few splits. Local paths can be
+        # stat'ed cheaply; non-local few-file scans fall through to the
+        # RDD-partition check below.
+        import os
+        from urllib.parse import urlparse
+
+        paths = [urlparse(f) for f in files]
+        if all(p.scheme in ("file", "") for p in paths):
+            try:
+                total = sum(os.path.getsize(p.path) for p in paths)
+                max_split = int(
+                    df.sparkSession.conf.get(
+                        "spark.sql.files.maxPartitionBytes", "134217728"
+                    ).rstrip("b")
+                )
+                est_splits = max(len(files), total // max_split)
+                if est_splits * 2 >= want:
+                    return df
+                return df.repartition(want, *[F.col(c) for c in cols])
+            except OSError:
+                pass
     if df.rdd.getNumPartitions() * 2 < want:
         return df.repartition(want, *[F.col(c) for c in cols])
     return df
@@ -83,7 +133,7 @@ def shingle_jaccard_pairs(
     # The (doc, shingle) rows feed both self-join sides + sizes (+ the DF
     # cap): persist the narrow exploded rows so the expensive shingle
     # expression runs once, not three or four times.
-    sh = sh.persist()
+    sh = _take_cache(sh)
     if max_doc_freq is not None:
         dfreq = sh.groupBy("sh").agg(F.count("*").alias("_df"))
         sh = sh.join(dfreq.filter(F.col("_df") <= max_doc_freq), "sh").drop("_df")
@@ -213,7 +263,7 @@ def minhash_near_dups(
     three times. The cached rows are NARROW (id + num_hashes longs), the
     shape where caching wins (wide deserialized text rows would cost ~10x
     the recompute)."""
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, n, seed).persist()
+    sigs = _take_cache(minhash_signatures(df, id_col, text_col, num_hashes, n, seed))
     cands = lsh_candidate_pairs(sigs, id_col, bands, sig_len=num_hashes)
     a = sigs.withColumnsRenamed({id_col: "id_a", "sig": "sig_a"})
     b = sigs.withColumnsRenamed({id_col: "id_b", "sig": "sig_b"})
@@ -268,54 +318,80 @@ def embedding_near_dups(
     id_col: str,
     vec_col: str,
     threshold: float = 0.95,
-    hyperplanes: int = 0,
+    hyperplanes: int = 8,
     seed: int = 7,
     dim: int | None = None,
+    exact: bool = False,
+    tables: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (cos >= threshold, id_a < id_b).
 
-    hyperplanes=0 -> brute-force self-join (exact; quadratic — ONLY a
-    small-N baseline, never the scale path). hyperplanes=k -> random-
-    hyperplane bucket join: docs must agree on all k sign bits to be
-    compared (the 100 TB path; recall trades against k). Pass `dim` to
-    avoid a driver probe of the vector length."""
+    DEFAULT is the scale path: random-hyperplane bucket join — vectors must
+    agree on all `hyperplanes` sign bits (of at least one of `tables`
+    independent plane sets: OR-amplification raises recall without
+    shrinking buckets) before any cosine is computed. The quadratic
+    brute-force self-join is the exactness baseline ONLY and must be
+    requested explicitly with `exact=True` — calling this operator with
+    defaults never plans a cross join. Pass `dim` to avoid a driver probe
+    of the vector length."""
     from go_tfdata_spark.functions.vectors import cosine_similarity
 
     df = _ensure_parallelism(df, id_col)
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    if hyperplanes > 0:
-        if dim is None:
-            dim = len(df.select(vec_col).first()[0])
-        planes = hyperplane_matrix(hyperplanes, dim, seed)
-        def bucket(vc):
-            bits = [
-                (
-                    F.aggregate(
-                        F.zip_with(
-                            vc,
-                            F.array(*[F.lit(float(x)) for x in planes[j]]),
-                            lambda u, w: u * w,
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    )
-                    > 0
-                ).cast("int") * (2**j)
-                for j in range(hyperplanes)
-            ]
-            out = F.lit(0)
-            for bexp in bits:
-                out = out + bexp
-            return out
-
-        a = a.withColumn("bkt", bucket(F.col("va")))
-        b = b.withColumn("bkt", bucket(F.col("vb")))
-        joined = a.join(b, "bkt").filter(F.col("id_a") < F.col("id_b"))
-    else:
+    if exact:
         joined = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+        return (
+            joined.withColumn("cos", cosine_similarity(F.col("va"), F.col("vb")))
+            .filter(F.col("cos") >= threshold)
+            .select("id_a", "id_b", "cos")
+        )
+    if hyperplanes <= 0:
+        raise ValueError(
+            "hyperplanes must be positive for the LSH path; "
+            "pass exact=True to opt into the quadratic baseline"
+        )
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+
+    def bucket(vc, planes):
+        out = F.lit(0)
+        for j in range(hyperplanes):
+            dot = F.aggregate(
+                F.zip_with(
+                    vc,
+                    F.array(*[F.lit(float(x)) for x in planes[j]]),
+                    lambda u, w: u * w,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            out = out + (dot > 0).cast("int") * (2**j)
+        return out
+
+    if tables == 1:
+        # single table: carry the vectors through the bucket join — one join
+        planes = hyperplane_matrix(hyperplanes, dim, seed)
+        at = a.withColumn("bkt", bucket(F.col("va"), planes))
+        bt = b.withColumn("bkt", bucket(F.col("vb"), planes))
+        joined = at.join(bt, "bkt").filter(F.col("id_a") < F.col("id_b"))
+        return (
+            joined.withColumn("cos", cosine_similarity(F.col("va"), F.col("vb")))
+            .filter(F.col("cos") >= threshold)
+            .select("id_a", "id_b", "cos")
+        )
+    # OR-amplified: slim (id, bucket) joins per table, dedup the candidate
+    # pair set, THEN fetch vectors once for the surviving pairs.
+    cand = None
+    for t in range(tables):
+        planes = hyperplane_matrix(hyperplanes, dim, seed + 101 * t)
+        at = a.select("id_a", bucket(F.col("va"), planes).alias("bkt"))
+        bt = b.select("id_b", bucket(F.col("vb"), planes).alias("bkt"))
+        p = at.join(bt, "bkt").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+        cand = p if cand is None else cand.unionByName(p)
     return (
-        joined.withColumn("cos", cosine_similarity(F.col("va"), F.col("vb")))
+        cand.distinct().join(a, "id_a").join(b, "id_b")
+        .withColumn("cos", cosine_similarity(F.col("va"), F.col("vb")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )

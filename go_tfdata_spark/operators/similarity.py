@@ -34,17 +34,18 @@ def brute_force_topk(
 
 
 class IVFIndex:
-    """Inverted-file index: centroids picked deterministically (every
-    (n/ncells)-th row by id), rows assigned to nearest centroid."""
+    """Inverted-file index: centroids are the `ncells` rows with the
+    smallest md5(id) — a deterministic uniform sample that assumes NOTHING
+    about the id space (dense, sparse, or hashed ids all yield exactly
+    min(ncells, n) centroids) and costs one TakeOrderedAndProject job, no
+    count(). Rows are assigned to their nearest centroid."""
 
     def __init__(self, df: DataFrame, vec_col: str, id_col: str, ncells: int = 16):
         self.vec_col, self.id_col, self.ncells = vec_col, id_col, ncells
-        n = df.count()
-        stride = max(n // ncells, 1)
         cents = (
-            df.filter(F.pmod(F.col(id_col), F.lit(stride)) == 0)
+            df.select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cvec"))
+            .orderBy(F.md5(F.col("cell").cast("string")), F.col("cell"))
             .limit(ncells)
-            .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cvec"))
         )
         self.centroids = [(r["cell"], list(r["cvec"])) for r in cents.collect()]
         cell = self._nearest_cell_expr(F.col(vec_col))

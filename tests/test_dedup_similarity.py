@@ -73,12 +73,52 @@ def test_embedding_near_dups_and_lsh_buckets(spark):
     ]
     df = spark.createDataFrame(rows, "vec_id long, v array<double>")
     brute = {(r["id_a"], r["id_b"]) for r in
-             embedding_near_dups(df, "vec_id", "v", threshold=0.95).collect()}
+             embedding_near_dups(df, "vec_id", "v", threshold=0.95, exact=True).collect()}
     assert brute == {(0, 1)}
     lsh = {(r["id_a"], r["id_b"]) for r in
            embedding_near_dups(df, "vec_id", "v", threshold=0.95, hyperplanes=4).collect()}
     assert lsh <= brute  # bucketing may lose recall, never adds false pairs
     assert (0, 3) not in lsh
+    # OR-amplification: more tables never loses pairs vs one table, never
+    # adds false positives vs brute force
+    multi = {(r["id_a"], r["id_b"]) for r in
+             embedding_near_dups(df, "vec_id", "v", threshold=0.95,
+                                 hyperplanes=4, tables=3).collect()}
+    assert lsh <= multi <= brute
+
+
+def test_embedding_near_dups_default_never_plans_cartesian(spark):
+    """The quadratic baseline is opt-in (exact=True); a defaults call must
+    plan a bucket equi-join, not a CartesianProduct / BroadcastNestedLoop."""
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.5, -1.0]) for i in range(8)],
+        "vec_id long, v array<double>",
+    )
+    plan = embedding_near_dups(df, "vec_id", "v", dim=4)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    with pytest.raises(ValueError, match="exact=True"):
+        embedding_near_dups(df, "vec_id", "v", hyperplanes=0, dim=4)
+
+
+def test_ivf_sparse_hashed_ids_still_make_ncells_centroids(spark):
+    """Centroid sampling must not assume dense 0..n ids (regression: pmod
+    stride sampling degenerated to 1 centroid on sparse id spaces)."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    ids = list({int(x) for x in rng.randint(0, 2**62, size=120, dtype=np.int64)})[:100]
+    vecs = rng.randn(100, 8).astype(float)
+    df = spark.createDataFrame(
+        [(ids[i], [float(x) for x in vecs[i]]) for i in range(100)],
+        "vec_id long, v array<double>",
+    )
+    idx = IVFIndex(df, "v", "vec_id", ncells=8)
+    assert len(idx.centroids) == 8
+    q = [float(x) for x in vecs[11]]
+    exact = [r["vec_id"] for r in brute_force_topk(df, "v", q, k=5, id_col="vec_id").collect()]
+    approx = [r["vec_id"] for r in idx.topk(q, k=5, nprobe=8).collect()]
+    assert approx == exact  # all cells probed == exact
 
 
 def test_ivf_topk_matches_brute_force(spark):
