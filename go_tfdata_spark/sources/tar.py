@@ -5,13 +5,18 @@ adjacent members named ``<key>.<ext>`` (tfdata/archive/tar.go:50-69
 NewTarReader/NewTarGzReader; member->record fold greedyreader.go:56-87;
 key/ext split tar.go:64-69 nameExtFromHeader). The Spark-native restatement:
 
-- ``read_tar_members``: a ``binaryFile`` scan (one row per archive — Spark
-  schedules archives across executors, the unit of parallelism the reference
-  gets from one goroutine per reader) feeding an Arrow-batched
-  ``mapInPandas`` that opens each archive with Python ``tarfile`` and emits
-  one row per member: (archive, key, field, value-bytes). Gzip is detected
-  by magic bytes, not filename, so ``.tar``/``.tar.gz``/``.tgz`` all work
-  (reference exposes both constructors, tar.go:50-62).
+- ``read_tar_members``: a ``binaryFile`` scan pruned to the PATH column
+  only (one row per archive — Spark schedules archives across executors,
+  the unit of parallelism the reference gets from one goroutine per
+  reader) feeding an Arrow-batched ``mapInPandas`` that opens each archive
+  as a STREAM (``tarfile`` mode ``r|*``) and emits one row per member:
+  (archive, key, field, value-bytes). Task memory is O(member) + one
+  output chunk, never O(archive) — the same reason the reference grew a
+  seek reader (archive/seekreader.go:16-35); a 100 GB shard streams
+  through a constant-size window. ``r|*`` detects gzip on the stream, so
+  ``.tar``/``.tar.gz``/``.tgz`` all work (reference exposes both
+  constructors, tar.go:50-62). Non-local URIs open through ``pyarrow.fs``
+  input streams (S3/HDFS/GCS), local paths through plain ``open``.
 - ``read_tar_samples``: members folded into one row per key with a
   ``members`` map — the engine's `assemble_records` hash aggregation
   (manager.go:57-63 UpdateRecord upsert), optionally filtered to complete
@@ -56,44 +61,72 @@ def _split_member_name(name: str) -> tuple[str, str]:
     return base, ext.lstrip(".")
 
 
-def read_tar_members(spark: SparkSession, paths: str | list[str]) -> DataFrame:
+# Flush the member buffer to an Arrow batch once it holds this many payload
+# bytes (or rows) — the task's output-side memory bound.
+_CHUNK_BYTES = 32 * 1024 * 1024
+_CHUNK_ROWS = 4096
+
+
+def _open_stream(uri: str):
+    """Open an archive URI as a sequential byte stream (no full read)."""
+    from urllib.parse import unquote, urlparse
+
+    p = urlparse(uri)
+    if p.scheme in ("file", ""):
+        return open(unquote(p.path) if p.scheme else uri, "rb")
+    from pyarrow import fs as pafs
+
+    filesystem, path = pafs.FileSystem.from_uri(uri)
+    return filesystem.open_input_stream(path)
+
+
+def read_tar_members(
+    spark: SparkSession,
+    paths: str | list[str],
+    chunk_bytes: int = _CHUNK_BYTES,
+    chunk_rows: int = _CHUNK_ROWS,
+) -> DataFrame:
     """One row per archive member: (archive, key, field, value)."""
-    files = spark.read.format("binaryFile").load(paths)
+    # Prune to `path` BEFORE mapInPandas: the binaryFile source then never
+    # materializes archive bytes in the JVM; Python streams each archive.
+    files = spark.read.format("binaryFile").load(paths).select("path")
 
     def parse(batches):
-        import gzip
-        import io
         import tarfile
 
         import pandas as pd
 
-        for pdf in batches:
-            for path, content in zip(pdf["path"], pdf["content"]):
-                raw = bytes(content)
-                if raw[:2] == b"\x1f\x8b":  # gzip magic -> NewTarGzReader path
-                    raw = gzip.decompress(raw)
-                keys, fields, values = [], [], []
-                # tarfile.open raises tarfile.ReadError on a non-TAR payload,
-                # matching the reference's first-Read() failure contract.
-                with tarfile.open(fileobj=io.BytesIO(raw)) as tf:
-                    for member in tf:
-                        if not member.isfile():
-                            continue
-                        key, ext = _split_member_name(member.name)
-                        fobj = tf.extractfile(member)
-                        keys.append(key)
-                        fields.append(ext)
-                        values.append(fobj.read() if fobj is not None else b"")
-                yield pd.DataFrame(
-                    {
-                        "archive": [path] * len(keys),
-                        KEY_COLUMN: keys,
-                        "field": fields,
-                        "value": values,
-                    }
-                )
+        buf: list[tuple] = []
+        buf_bytes = 0
 
-    return files.select("path", "content").mapInPandas(parse, MEMBER_SCHEMA)
+        def flush():
+            nonlocal buf, buf_bytes
+            out = pd.DataFrame(buf, columns=["archive", KEY_COLUMN, "field", "value"])
+            buf, buf_bytes = [], 0
+            return out
+
+        for pdf in batches:
+            for path in pdf["path"]:
+                # Streaming mode "r|*": sequential member walk, transparent
+                # gzip detection on the stream, O(member) memory. Raises
+                # tarfile.ReadError on a non-TAR payload, matching the
+                # reference's first-Read() failure contract.
+                with _open_stream(path) as fo:
+                    with tarfile.open(fileobj=fo, mode="r|*") as tf:
+                        for member in tf:
+                            if not member.isfile():
+                                continue
+                            key, ext = _split_member_name(member.name)
+                            fobj = tf.extractfile(member)
+                            val = fobj.read() if fobj is not None else b""
+                            buf.append((path, key, ext, val))
+                            buf_bytes += len(val)
+                            if buf_bytes >= chunk_bytes or len(buf) >= chunk_rows:
+                                yield flush()
+        if buf:
+            yield flush()
+
+    return files.mapInPandas(parse, MEMBER_SCHEMA)
 
 
 def read_tar_samples(

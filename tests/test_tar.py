@@ -87,3 +87,34 @@ def test_tar_plan_is_arrow_batched_not_per_row(spark):
         spark, f"{FIXTURES}/small-10.tar"
     )._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+
+
+def test_tar_scan_never_materializes_archive_content(spark):
+    """The scan is pruned to `path` — task memory is O(member), not
+    O(archive) (the reason the reference has a seek reader,
+    seekreader.go:16-35). The binaryFile `content` column must not appear
+    in the executed plan's read schema."""
+    plan = read_tar_members(
+        spark, f"{FIXTURES}/small-10.tar"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "content" not in plan
+    assert "path" in plan
+
+
+def test_tar_streaming_chunks_cross_archive_boundaries(spark, tmp_path):
+    """An archive far larger than the output chunk must stream through in
+    multiple Arrow batches with nothing lost or duplicated."""
+    p = tmp_path / "big.tar"
+    with tarfile.open(str(p), mode="w") as tf:
+        for i in range(50):
+            for f in ("cls", "jpg"):
+                data = (f"{i:03d}.{f}" * 40).encode()
+                info = tarfile.TarInfo(name=f"s/{i:03d}.{f}")
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+    # chunk_rows=7 forces ~15 flushes across member boundaries
+    rows = read_tar_members(spark, str(p), chunk_rows=7, chunk_bytes=1 << 60).collect()
+    assert len(rows) == 100
+    assert sorted({r.key for r in rows}) == [f"s/{i:03d}" for i in range(50)]
+    byf = {(r.key, r.field): bytes(r.value) for r in rows}
+    assert byf[("s/007", "jpg")] == ("007.jpg" * 40).encode()
