@@ -2,11 +2,13 @@
 
 The reference ships real image codecs on its typed rows (AddImage PNG
 encode, GetImage JPEG/PNG/GIF decode — tfdata/core/example.go:131-146).
-This container has no image/audio libraries, so the DECODE step is stubbed
-(deterministic fake or NotImplementedError), but the Spark-side plumbing —
-schema, Arrow batch shape, mapInPandas partitioning — is real and tested:
-swapping the stub for PIL/torchaudio changes one function body, not the
-pipeline.
+PNG and PPM are decoded/encoded FOR REAL here by the dependency-free codec
+in functions/png.py (stdlib zlib + numpy) — AddImage/GetImage PNG parity
+without any imaging library. JPEG/GIF (and audio/video codecs) are not
+carried in this container; payloads in those formats route to the
+deterministic stub so the Spark-side plumbing — schema, Arrow batch shape,
+mapInPandas partitioning — stays exercised end-to-end, and swapping the
+stub for PIL/torchaudio changes one function body, not the pipeline.
 """
 
 from __future__ import annotations
@@ -40,44 +42,57 @@ FEATURE_SCHEMA = T.StructType(
     ]
 )
 
-HAVE_PIL = False
-try:  # pragma: no cover - not present in this container
-    import PIL.Image  # noqa: F401
-
-    HAVE_PIL = True
-except Exception:
-    pass
-
-
 def _fake_decode(payload: bytes) -> np.ndarray:
-    """Deterministic stand-in for an image decoder: derive an 8x8 'pixel'
-    grid from the payload bytes. Replace with PIL decode when available."""
+    """Deterministic stand-in for codecs this container cannot carry
+    (JPEG/GIF/audio): derive an 8x8 'pixel' grid from the payload bytes."""
     if payload is None:
         payload = b""
     arr = np.frombuffer((payload * (64 // max(len(payload), 1) + 1))[:64], dtype=np.uint8)
     return arr.reshape(8, 8).astype(np.float32) / 255.0
 
 
+def _decode_any(payload: bytes) -> np.ndarray:
+    """PNG/PPM -> real pixels (functions/png.py, GetImage parity); anything
+    else -> the deterministic stub. Returns float32 greyscale in [0,1]."""
+    from go_tfdata_spark.functions.png import decode_image, sniff_format
+
+    if sniff_format(payload) in ("png", "ppm"):
+        img = decode_image(payload).astype(np.float32) / 255.0
+        if img.ndim == 3:  # luminance fold, BT.601-ish
+            w = np.array([0.299, 0.587, 0.114, 0.0], dtype=np.float32)[: img.shape[2]]
+            img = img @ (w / max(w.sum(), 1e-6))
+        return img
+    return _fake_decode(payload)
+
+
+def _grid8(img: np.ndarray) -> np.ndarray:
+    """8x8 summary grid by evenly-spaced sampling (deterministic)."""
+    h, w = img.shape
+    ys = (np.arange(8) * h // 8).clip(0, h - 1)
+    xs = (np.arange(8) * w // 8).clip(0, w - 1)
+    return img[np.ix_(ys, xs)]
+
+
 def decode_and_featurize(df: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
     """mapInPandas stage: binary payload -> (dims, n_bytes, 16-dim feature).
 
-    Real plumbing: Arrow batches of binary columns in, typed struct rows
-    out; runs fully parallel per input partition, no driver involvement.
-    The decode itself is the stub (`_fake_decode`); with PIL installed it
-    would decode real images (NotImplementedError path kept explicit)."""
+    Real plumbing AND (for PNG/PPM) a real decode: Arrow batches of binary
+    columns in, typed struct rows out; runs fully parallel per input
+    partition, no driver involvement. width/height are the true pixel
+    dimensions for decoded formats; the 16-dim feature is row+column means
+    of an 8x8 luminance summary grid."""
 
     def _featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if HAVE_PIL:  # pragma: no cover
-                raise NotImplementedError("real decoder not wired in this sandbox")
-            grids = [_fake_decode(p) for p in pdf["payload"]]
+            imgs = [_decode_any(p) for p in pdf["payload"]]
+            grids = [_grid8(im) for im in imgs]
             feats = [g.mean(axis=0).tolist() + g.mean(axis=1).tolist() for g in grids]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "width": [g.shape[1] for g in grids],
-                    "height": [g.shape[0] for g in grids],
+                    "width": [im.shape[1] for im in imgs],
+                    "height": [im.shape[0] for im in imgs],
                     "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
                     "feature": feats,
                 }
