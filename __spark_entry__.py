@@ -427,6 +427,71 @@ def _q_tfrecord_roundtrip(spark, sf):
     )
 
 
+def _q_tfexample_roundtrip(spark, sf):
+    """tf.Example protobuf wire codec end-to-end (S8b): deterministic typed
+    feature rows -> encode_example -> framed TFRecord shards ->
+    read_tfexamples -> per-record inventory. The oracle is the literal
+    expected table, restating the fixture's arithmetic independently of the
+    codec — equality proves the varint/len-delimited wire round-trip is
+    lossless for all three feature types (tfrecord_test.go:97-129)."""
+    import shutil
+
+    from go_tfdata_spark.sources.tfexample import read_tfexamples, write_tfexamples
+
+    out = os.path.join(tempfile.gettempdir(), f"go_tfdata_spark_tfex_rt_{os.getpid()}")
+    shutil.rmtree(out, ignore_errors=True)
+    rows = [
+        (
+            {"txt": [bytearray(f"doc-{i}-".encode() * (i % 3 + 1))]},
+            {"score": [float(i) * 0.5, float(i) * 0.25]},
+            {"idx": [i], "ids": [i, 2 * i, 3 * i]},
+        )
+        for i in range(_TFEX_N)
+    ]
+    src = spark.createDataFrame(
+        rows,
+        "bytes_features map<string,array<binary>>, "
+        "float_features map<string,array<float>>, "
+        "int64_features map<string,array<long>>",
+    ).repartition(4)
+    write_tfexamples(src, out)
+    ex = read_tfexamples(spark, out)
+    return ex.select(
+        F.element_at(F.element_at("int64_features", F.lit("idx")), 1).alias("idx"),
+        F.octet_length(
+            F.element_at(F.element_at("bytes_features", F.lit("txt")), 1)
+        ).alias("txt_bytes"),
+        F.aggregate(
+            F.element_at("int64_features", F.lit("ids")),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("ids_sum"),
+        F.round(
+            F.aggregate(
+                F.element_at("float_features", F.lit("score")),
+                F.lit(0.0),
+                lambda a, x: a + x.cast("double"),
+            ),
+            2,
+        ).alias("score_sum"),
+    )
+
+
+_TFEX_N = 20
+
+
+def _tfexample_sql(n: int = 20) -> str:
+    rows = ", ".join(
+        f"({i}, {len(f'doc-{i}-') * (i % 3 + 1)}, {6 * i}, {0.75 * i:.2f})"
+        for i in range(n)
+    )
+    return (
+        f"SELECT idx::BIGINT AS idx, txt_bytes::INT AS txt_bytes, "
+        f"ids_sum::BIGINT AS ids_sum, score_sum::DOUBLE AS score_sum "
+        f"FROM (VALUES {rows}) AS t(idx, txt_bytes, ids_sum, score_sum)"
+    )
+
+
 def _q_frame_sample(spark, sf):
     """Video frame-sampling plumbing: per-media synthetic frame index from
     metadata, keep every 10th frame (multimodal §: frame-sample before
@@ -640,6 +705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups_lsh": _q_embedding_near_dups_lsh,
         "tar_ingest": _q_tar_ingest,
         "tfrecord_roundtrip": _q_tfrecord_roundtrip,
+        "tfexample_roundtrip": _q_tfexample_roundtrip,
         "frame_sample": _q_frame_sample,
         "lsh_candidates": _q_lsh_candidates,
         "hot_keys": _q_hot_keys,
@@ -958,6 +1024,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_near_dups_lsh": _embedding_lsh_sql(),
         "tar_ingest": _tar_ingest_sql(),
+        # tfexample_roundtrip: literal expected table — proves the protobuf
+        # wire codec round-trip is lossless (see _q_tfexample_roundtrip).
+        "tfexample_roundtrip": _tfexample_sql(_TFEX_N),
         # tfrecord_roundtrip: the oracle aggregates the SOURCE table —
         # equality across the write->read round-trip proves losslessness.
         "tfrecord_roundtrip": """
