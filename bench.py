@@ -257,6 +257,7 @@ def _stringwork_pair(lo: int, hi: int, scale: float = 0.5) -> dict:
 
 def _cdc_rep(cores: int, n_events: int) -> dict:
     s0 = _cpu_stat()
+    w0 = time.time()
     r = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--cdc-child", str(cores), str(n_events)],
         capture_output=True, text=True, env=dict(os.environ),
@@ -266,10 +267,12 @@ def _cdc_rep(cores: int, n_events: int) -> dict:
     line = [l for l in r.stdout.strip().splitlines() if l.startswith("{")][-1]
     res = json.loads(line)
     res["steal_pct"] = _steal_pct(s0, s1)
+    res["wall"] = time.time() - w0  # incl. generation/warmup — budget math
     return res
 
 
-def run_cdc_scaling(n_events: int, lo: int = 8, hi: int = 32, reps: int | None = None) -> dict:
+def run_cdc_scaling(n_events: int, lo: int = 8, hi: int = 32, reps: int | None = None,
+                    budget_left=None) -> dict:
     if reps is None:
         reps = int(os.environ.get("SPARK_GRAFT_CDC_REPS", "2"))
     out: dict = {lo: None, hi: None}
@@ -277,17 +280,25 @@ def run_cdc_scaling(n_events: int, lo: int = 8, hi: int = 32, reps: int | None =
     # noise bursts last minutes — running all of one leg's reps
     # back-to-back lets a single burst poison that whole leg; interleaving
     # spreads both legs across windows so min-wall-time per leg lands in
-    # the quietest one.
-    for _ in range(reps):
+    # the quietest one. The budget is enforced MID-LOOP from measured child
+    # wall times (not estimates) so the bench always emits its JSON line.
+    pair_wall = 0.0
+    for rep in range(reps):
+        if rep > 0 and budget_left is not None and budget_left() < pair_wall * 1.15:
+            break
         for cores in (lo, hi):
             res = _cdc_rep(cores, n_events)
+            if rep == 0:
+                pair_wall += res["wall"]
             if out[cores] is None or res["sec"] < out[cores]["sec"]:
                 out[cores] = res
     # steal-gated retry: if even the best rep of a leg saw visible vCPU
     # steal, grant it one extra attempt (steal is the only *visible* part
     # of neighbor contention; DRAM pressure shows up only as wall time).
     for cores in (lo, hi):
-        if (out[cores].get("steal_pct") or 0) > 0.3:
+        if (out[cores].get("steal_pct") or 0) > 0.3 and (
+            budget_left is None or budget_left() > out[cores]["wall"] * 1.15
+        ):
             res = _cdc_rep(cores, n_events)
             if res["sec"] < out[cores]["sec"]:
                 out[cores] = res
@@ -361,13 +372,14 @@ def run_cdc_scaling_primary(
             norm is not None and norm >= target_norm and steals_ok()
         )
         # stop early when the target is captured, or the budget is gone
-        if done or budget_left() < (out[lo]["sec"] + out[hi]["sec"]) * 1.8:
+        # (budget math on measured child WALL times, incl. generation)
+        if done or budget_left() < (out[lo]["wall"] + out[hi]["wall"]) * 1.15:
             break
     # steal-gated retries for any leg whose best rep was still contended
     for cores in (lo, hi):
         tries = 0
         while (out[cores].get("steal_pct") or 0) > 0.3 and tries < 2 and \
-                budget_left() > out[cores]["sec"] * 2.5:
+                budget_left() > out[cores]["wall"] * 1.3:
             res = _cdc_rep(cores, n_events)
             history[cores].append((round(res["sec"], 2), res.get("steal_pct")))
             if res["sec"] < out[cores]["sec"]:
@@ -401,6 +413,10 @@ def run_cdc_scaling_primary(
         ]
         if norm is not None:
             result["efficiency_vs_stringwork_ceiling"] = round(norm, 3)
+    result["pair_wall_sec"] = round(out[lo]["wall"] + out[hi]["wall"], 1)
+    # progress line on stderr: if an outer harness timeout kills the run
+    # before the final stdout JSON, the primary result still survives.
+    print("PRIMARY " + json.dumps(result), file=sys.stderr, flush=True)
     return result
 
 
@@ -465,13 +481,17 @@ def main() -> None:
             # not the engine, binds at 32 threads: compare its raw
             # efficiency against its own stringwork ceiling).
             try:
-                remaining = _BENCH_BUDGET_SEC - (time.time() - _T_START)
-                sat_reps = 2 if remaining > 1200 else (1 if remaining > 700 else 0)
-                if sat_reps == 0:
+                remaining = budget_left()
+                # one 100M-event rep pair costs ~5x a 20M pair; require
+                # headroom for at least one full pair (measured, not guessed)
+                est_pair = cdc.get("pair_wall_sec", 500.0) * (CDC_EVENTS_SAT / CDC_EVENTS) * 0.7
+                if remaining < est_pair * 1.2:
                     raise RuntimeError(
-                        f"skipped: {remaining:.0f}s left of {_BENCH_BUDGET_SEC:.0f}s budget"
+                        f"skipped: {remaining:.0f}s left of {_BENCH_BUDGET_SEC:.0f}s "
+                        f"budget < est pair {est_pair:.0f}s"
                     )
-                sat = run_cdc_scaling(CDC_EVENTS_SAT, 8, 32, reps=sat_reps)
+                sat = run_cdc_scaling(CDC_EVENTS_SAT, 8, 32, reps=2,
+                                      budget_left=budget_left)
                 sat.update(run_calibration(8, 32))
                 if sat.get("machine_ceiling_efficiency"):
                     sat["efficiency_vs_machine_ceiling"] = round(
