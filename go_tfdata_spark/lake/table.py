@@ -434,6 +434,7 @@ class LakeTable:
         summary: dict | None = None,
         max_retries: int = 20,
         presharded: bool = False,
+        finalize=None,
     ) -> Manifest:
         """Merge-on-read write: append the (already LWW-folded) change batch
         as DELTA files — zero target scan, zero rewrite, write volume
@@ -463,6 +464,9 @@ class LakeTable:
         entries = self._write_data(
             self._conform(df, m.schema), m, presharded=presharded, delta=True
         )
+        if finalize is not None:
+            finalize(m)  # post-write, pre-publish (accumulator-fed lineage)
+            s = dict(m.summary)  # CAS retries re-manifest with the filled summary
         for _ in range(max_retries):
             if (
                 job_id is not None
@@ -665,6 +669,8 @@ class LakeTable:
         order_cols: list[str],
         summary: dict | None = None,
         affected: list[int] | None = None,
+        lineage_acc=None,
+        finalize=None,
     ) -> Manifest:
         """Dense-batch COW merge on the write layout (the Arrow zipper path).
 
@@ -679,7 +685,13 @@ class LakeTable:
 
         Use for batches whose key set is comparable to the affected-bucket
         row count; `merge_lww(strategy='broadcast')` remains the sparse
-        path (it never shuffles the passthrough rows at all)."""
+        path (it never shuffles the passthrough rows at all).
+
+        With `lineage_acc` the fold also reports per-(src_part, deleted)
+        batch-winner counts through the accumulator (see aligned_lww_fold);
+        `finalize(manifest)` runs after the data is written but BEFORE the
+        atomic publish, letting the caller fold accumulator-derived lineage
+        into the committed summary without breaking commit atomicity."""
         from go_tfdata_spark.operators.arrow_fold import aligned_lww_fold
 
         m = self._next_manifest({"operation": "merge", **(summary or {})})
@@ -691,6 +703,11 @@ class LakeTable:
             return self.snapshot()
         target = self.read_buckets(affected, resolve=False)
         untouched = [f for f in m.files if f.get("bucket") not in set(affected)]
+        flag = None
+        if lineage_acc is not None:
+            flag = "_fold_src"
+            target = target.withColumn(flag, F.lit(False))
+            src = src.withColumn(flag, F.lit(True))
         merged = aligned_lww_fold(
             target.unionByName(src),
             key_cols=key_cols,
@@ -698,10 +715,14 @@ class LakeTable:
             bucket_by=m.bucket_by,
             num_buckets=m.num_buckets,
             splits=_WRITE_SPLITS_PER_BUCKET,
+            batch_flag_col=flag,
+            lineage_acc=lineage_acc,
         )
         m.files = untouched + self._write_data(merged, m, presharded=True)
         m.summary["affected_buckets"] = sorted(affected)
         m.summary["merge_strategy"] = "aligned"
+        if finalize is not None:
+            finalize(m)
         self._publish(m)
         return m
 

@@ -84,6 +84,10 @@ def aligned_lww_fold(
     num_buckets: int,
     splits: int = 4,
     bucket_col: str | None = None,
+    batch_flag_col: str | None = None,
+    lineage_acc=None,
+    src_part_col: str = "_src_part",
+    deleted_col: str = "_deleted",
 ) -> DataFrame:
     """One winner row per key, output partitioned by (bucket, split).
 
@@ -91,6 +95,17 @@ def aligned_lww_fold(
     stage makespan (same constant as the lake's write splits). If
     `bucket_col` is given, the bucket id is kept as that output column
     (callers writing with partitionBy can reuse it instead of recomputing).
+
+    Lineage piggyback: with `batch_flag_col` (a boolean column of `df`
+    marking change-batch rows vs carried target rows) and `lineage_acc`
+    (a per-partition-replace dict accumulator), each fold task ALSO folds
+    the slim (key, order, src_part, deleted) projection of the batch rows
+    and reports winner-op counts per (src_part, deleted) — the per-source
+    lineage metrics ride the merge's own shuffle instead of costing a
+    separate scan+shuffle job per replay (measured ~30% of replay wall).
+    Counts are keyed by partition id and REPLACED, not summed, on merge,
+    so task retries/speculation cannot double-count. The flag column is
+    dropped from the output.
     """
     import pyarrow as pa
 
@@ -99,11 +114,20 @@ def aligned_lww_fold(
     keep_bucket = bucket_col is not None
     bcol = bucket_col or "_fold_bucket"
     work = df.withColumn(bcol, bucket_expr(bucket_by, num_buckets))
-    out_schema = work.schema if keep_bucket else df.schema
-    cols = [f.name for f in out_schema.fields]
+    out_fields = [
+        f for f in (work.schema if keep_bucket else df.schema).fields
+        if f.name != batch_flag_col
+    ]
+    from pyspark.sql.types import StructType
+
+    out_schema = StructType(out_fields)
+    cols = [f.name for f in out_fields]
     sort_cols = list(order_cols)
+    slim_cols = list(dict.fromkeys([*key_cols, *sort_cols, src_part_col, deleted_col]))
 
     def fold(batches):
+        from pyspark import TaskContext
+
         # Amortized incremental fold: buffer Arrow batches and only squash
         # (concat + sort + dedup) once the buffer reaches the current
         # winner-set size — O(1) amortized copies per row. Folding on EVERY
@@ -113,23 +137,51 @@ def aligned_lww_fold(
         winners = None  # pa.Table
         buf: list = []
         buf_rows = 0
+        bwin = None  # slim winners among batch rows (lineage fold)
+        bbuf: list = []
+        bbuf_rows = 0
 
         def squash():
-            nonlocal winners, buf, buf_rows
+            nonlocal winners, buf, buf_rows, bwin, bbuf, bbuf_rows
             tables = ([winners] if winners is not None else []) + buf
-            if not tables:
-                return
-            cur = pa.concat_tables(tables).combine_chunks()
-            winners = _winner_table(cur, key_cols, sort_cols)
-            buf, buf_rows = [], 0
+            if tables:
+                cur = pa.concat_tables(tables).combine_chunks()
+                winners = _winner_table(cur, key_cols, sort_cols)
+                buf, buf_rows = [], 0
+            btables = ([bwin] if bwin is not None else []) + bbuf
+            if btables:
+                bcur = pa.concat_tables(btables).combine_chunks()
+                bwin = _winner_table(bcur, key_cols, sort_cols)
+                bbuf, bbuf_rows = [], 0
 
         for rb in batches:
-            t = pa.Table.from_batches([rb]).select(cols)
+            t_full = pa.Table.from_batches([rb])
+            if batch_flag_col is not None:
+                flagged = t_full.filter(t_full[batch_flag_col]).select(slim_cols)
+                if len(flagged):
+                    bbuf.append(flagged)
+                    bbuf_rows += len(flagged)
+            t = t_full.select(cols)
             buf.append(t)
             buf_rows += len(t)
             if buf_rows >= max(64_000, 0 if winners is None else len(winners)):
                 squash()
         squash()
+        if lineage_acc is not None and bwin is not None and len(bwin):
+            import pyarrow.compute as pc
+
+            grp = bwin.select([src_part_col, deleted_col]).group_by(
+                [src_part_col, deleted_col], use_threads=False
+            ).aggregate([([], "count_all")])
+            counts = {}
+            for sp, dl, n in zip(
+                grp[src_part_col].to_pylist(),
+                grp[deleted_col].to_pylist(),
+                grp["count_all"].to_pylist(),
+            ):
+                counts[(int(sp), bool(dl))] = int(n)
+            pid = TaskContext.get().partitionId()
+            lineage_acc.add({pid: counts})
         if winners is not None and len(winners):
             yield from winners.select(cols).to_batches(max_chunksize=65_536)
 
@@ -141,3 +193,35 @@ def aligned_lww_fold(
     if not keep_bucket:
         rep = rep.drop(bcol)  # partitioning already imposed; column not needed
     return rep.mapInArrow(fold, out_schema)
+
+
+class PartitionReplaceAccum:
+    """AccumulatorParam for {partition_id: value} maps where merge REPLACES
+    per key — deterministic per-partition results make task retries and
+    speculative duplicates idempotent instead of double-counted."""
+
+    def zero(self, value):
+        return {}
+
+    def addInPlace(self, a, b):
+        a.update(b)
+        return a
+
+
+def lineage_accumulator(spark):
+    from pyspark.accumulators import AccumulatorParam
+
+    class _P(AccumulatorParam):
+        zero = PartitionReplaceAccum.zero
+        addInPlace = PartitionReplaceAccum.addInPlace
+
+    return spark.sparkContext.accumulator({}, _P())
+
+
+def fold_lineage_counts(acc_value: dict) -> dict:
+    """Sum the per-partition {(src_part, deleted): n} maps into one."""
+    total: dict = {}
+    for counts in acc_value.values():
+        for k, n in counts.items():
+            total[k] = total.get(k, 0) + n
+    return total

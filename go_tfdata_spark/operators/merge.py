@@ -140,51 +140,57 @@ class ApplyResult:
     lineage: list[dict]
 
 
-def _lineage_rows(
-    changes: DataFrame,
-    key_cols: list[str] = list(KEY_COLUMNS),
-    order_cols: list[str] = list(LWW_ORDER_COLUMNS),
-) -> list[dict]:
-    """Per-src-partition lineage (small: one row per source partition).
-
-    Runs its own PRUNED LWW fold over just (keys, order, op): Catalyst
-    cannot prune struct fields through max_by, so folding the full payload
-    here would shuffle every text byte a second time (measured ~5x cost).
-    """
-    base = (
+def _lineage_base(changes: DataFrame) -> list[dict]:
+    """Per-src-partition offsets + watermark (one cheap map-side-combining
+    aggregate). Winner-op counts stay None — filled either by the merge
+    fold's accumulator (aligned/MOR) or by `_lineage_counts` (sparse)."""
+    rows = (
         changes.groupBy("src_part")
         .agg(
             F.count(F.lit(1)).alias("offsets_applied"),
             F.max("ts").alias("watermark"),
         )
-    )
-    slim = lww_latest(
-        changes.select(*key_cols, *order_cols, "op"),
-        key_cols=key_cols,
-        order_cols=order_cols,
-    )
-    applied = (
-        slim.groupBy(F.col("src_part"))
-        .agg(
-            F.sum(F.when(F.col("op") != "D", 1).otherwise(0)).alias("rows_upserted"),
-            F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("rows_deleted"),
-        )
-    )
-    rows = (
-        base.join(applied, "src_part", "left")
-        .fillna(0, subset=["rows_upserted", "rows_deleted"])
         .collect()
     )
     return [
         {
             "src_part": int(r["src_part"]),
             "offsets_applied": int(r["offsets_applied"]),
-            "rows_upserted": int(r["rows_upserted"]),
-            "rows_deleted": int(r["rows_deleted"]),
+            "rows_upserted": None,
+            "rows_deleted": None,
             "watermark": r["watermark"].isoformat() if r["watermark"] else None,
         }
         for r in rows
     ]
+
+
+def _lineage_counts(
+    changes: DataFrame,
+    key_cols: list[str] = list(KEY_COLUMNS),
+    order_cols: list[str] = list(LWW_ORDER_COLUMNS),
+) -> dict:
+    """Winner-op counts per (src_part, deleted) via a PRUNED LWW fold over
+    just (keys, order, op) — the sparse-strategy fallback (Catalyst cannot
+    prune struct fields through max_by, so the fold must never see the
+    payload; for dense batches the counts ride the merge fold instead)."""
+    slim = lww_latest(
+        changes.select(*key_cols, *order_cols, "op"),
+        key_cols=key_cols,
+        order_cols=order_cols,
+    )
+    rows = (
+        slim.groupBy(F.col("src_part"), (F.col("op") == "D").alias("_d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    return {(int(r["src_part"]), bool(r["_d"])): int(r["n"]) for r in rows}
+
+
+def _fill_lineage(lineage: list[dict], counts: dict) -> None:
+    for ln in lineage:
+        sp = ln["src_part"]
+        ln["rows_upserted"] = int(counts.get((sp, False), 0))
+        ln["rows_deleted"] = int(counts.get((sp, True), 0))
 
 
 def precompute_epoch_stats(
@@ -195,20 +201,26 @@ def precompute_epoch_stats(
     epoch_col: str = "epoch",
 ) -> dict[int, dict]:
     """One Spark job computing, for EVERY epoch of a replay at once:
-    per-src-partition lineage + the affected bucket set + distinct-key count.
+    per-src-partition offsets/watermark + the affected bucket set.
 
     Batch replay applies epochs serially; paying fixed job latency per epoch
     for these small aggregates dominates wall time at high parallelism
     (measured ~5s/epoch of driver-side serial). Folding them into one
     up-front pass makes the per-epoch serial residue just the merge write.
+
+    This is ONE raw map-side-combining pass — no key fold. The per-key
+    winner-op counts (rows_upserted/rows_deleted) are NOT computed here:
+    they ride the merge fold itself via an accumulator (aligned_lww_fold's
+    lineage piggyback), which removed a second full scan+shuffle of the
+    change log per replay (measured ~30% of an 8-core replay's wall).
+    Lineage rows leave upserted/deleted as None for apply_changes to fill.
     """
     from go_tfdata_spark.lake.table import bucket_expr
 
     m = table.snapshot()
-    # Job 1 — one raw pass: per (epoch, src_part) offsets + watermark, plus
-    # the affected bucket set. Buckets come from RAW keys (not the fold):
-    # every key present in a batch produces exactly one folded row, so the
-    # raw key set and the folded key set hit identical buckets.
+    # Buckets come from RAW keys (not the fold): every key present in a
+    # batch produces exactly one folded row, so the raw key set and the
+    # folded key set hit identical buckets.
     base = (
         changes.withColumn("_b", bucket_expr(m.bucket_by, m.num_buckets))
         .groupBy(epoch_col, "src_part")
@@ -219,36 +231,17 @@ def precompute_epoch_stats(
         )
         .collect()
     )
-    # Job 2 — the only fold: winner op per key -> upsert/delete counts per
-    # (epoch, src_part). Pruned to FIXED-WIDTH numeric columns (op folded to
-    # a 0/1 flag first) so the narrow max_by path is chosen — measured 3x
-    # faster than the string-encoded fold for narrow payloads.
-    slim_in = changes.select(
-        epoch_col, *key_cols, *order_cols,
-        (F.col("op") == "D").cast("int").alias("_is_del"),
-    )
-    applied = (
-        lww_latest(slim_in, key_cols=[epoch_col, *key_cols], order_cols=order_cols)
-        .groupBy(epoch_col, "src_part")
-        .agg(
-            F.sum(1 - F.col("_is_del")).alias("rows_upserted"),
-            F.sum("_is_del").alias("rows_deleted"),
-        )
-        .collect()
-    )
-    upd = {(int(r[epoch_col]), int(r["src_part"])): r for r in applied}
     stats: dict[int, dict] = {}
     for r in base:
         e = int(r[epoch_col])
         s = stats.setdefault(e, {"lineage": [], "affected": set()})
         s["affected"].update(r["bks"])
-        a = upd.get((e, int(r["src_part"])))
         s["lineage"].append(
             {
                 "src_part": int(r["src_part"]),
                 "offsets_applied": int(r["offsets_applied"]),
-                "rows_upserted": int(a["rows_upserted"]) if a else 0,
-                "rows_deleted": int(a["rows_deleted"]) if a else 0,
+                "rows_upserted": None,
+                "rows_deleted": None,
                 "watermark": r["watermark"].isoformat() if r["watermark"] else None,
             }
         )
@@ -290,12 +283,12 @@ def apply_changes(
         lineage = precomputed.get("lineage", [])
         affected = precomputed.get("affected")
     else:
-        lineage = _lineage_rows(changes, key_cols, order_cols) if collect_lineage else []
+        lineage = _lineage_base(changes) if collect_lineage else []
         affected = None
     summary = {"job_id": job_id, "epoch": int(epoch), "lineage": lineage}
     strategy = merge_strategy
-    batch_keys = (
-        sum(r["rows_upserted"] + r["rows_deleted"] for r in lineage) if lineage else None
+    batch_events = (
+        sum(r["offsets_applied"] for r in lineage) if lineage else None
     )
     if strategy == "auto":
         # Sparse batches (key set small enough to BROADCAST) -> passthrough
@@ -303,15 +296,37 @@ def apply_changes(
         # Arrow merge (ONE payload shuffle straight onto the write layout).
         # Gated on the estimated broadcast BYTES, not a row count: the hint
         # is honored unconditionally by Spark, so the gate must bound driver
-        # memory. The distinct-key count comes free from the lineage agg.
+        # memory. Raw event count is a (conservative) upper bound on the
+        # distinct-key count and comes free from the offsets aggregate.
         from go_tfdata_spark.lake.table import _BROADCAST_MAX_BYTES
 
         est_key_bytes = 96  # conv_id string + turn_idx int, pessimistic
         strategy = (
             "broadcast"
-            if (batch_keys is not None and batch_keys * est_key_bytes <= _BROADCAST_MAX_BYTES)
+            if (batch_events is not None and batch_events * est_key_bytes <= _BROADCAST_MAX_BYTES)
             else "aligned"
         )
+    # Winner-op counts (rows_upserted/deleted): for the dense strategies
+    # they ride the merge fold via an accumulator (no extra scan/shuffle);
+    # the sparse strategies run the cheap slim fold up front.
+    needs_counts = bool(lineage) and any(
+        ln["rows_upserted"] is None for ln in lineage
+    )
+    acc = None
+    finalize = None
+    if needs_counts and strategy in ("aligned", "mor"):
+        from go_tfdata_spark.operators.arrow_fold import (
+            fold_lineage_counts,
+            lineage_accumulator,
+        )
+
+        acc = lineage_accumulator(table.spark)
+
+        def finalize(m, _acc=acc, _lineage=lineage):  # noqa: ANN001
+            _fill_lineage(_lineage, fold_lineage_counts(_acc.value))
+
+    elif needs_counts:
+        _fill_lineage(lineage, _lineage_counts(changes, key_cols, order_cols))
     phys_order = ["ts", "_lsn", "_src_part"]
     if strategy == "aligned":
         # No separate batch fold: physical-shape rows (tombstones pre-nulled
@@ -323,25 +338,36 @@ def apply_changes(
             order_cols=phys_order,
             summary=summary,
             affected=affected,
+            lineage_acc=acc,
+            finalize=finalize,
         )
     elif strategy == "mor":
         # merge-on-read: append the folded batch as delta files (write
         # O(batch), no target scan); reads/compaction resolve LWW. The batch
         # fold runs on the write layout (Arrow kernel) so the delta write is
-        # presharded — one payload shuffle, like the aligned COW path.
+        # presharded — one payload shuffle, like the aligned COW path. All
+        # fold input rows are batch rows, so the lineage flag is constant.
         from go_tfdata_spark.lake.table import _WRITE_SPLITS_PER_BUCKET
         from go_tfdata_spark.operators.arrow_fold import aligned_lww_fold
 
         snap = table.snapshot()
+        phys = physical_rows(changes, key_cols)
+        flag = None
+        if acc is not None:
+            flag = "_fold_src"
+            phys = phys.withColumn(flag, F.lit(True))
         folded = aligned_lww_fold(
-            physical_rows(changes, key_cols),
+            phys,
             key_cols=key_cols,
             order_cols=phys_order,
             bucket_by=snap.bucket_by,
             num_buckets=snap.num_buckets,
             splits=_WRITE_SPLITS_PER_BUCKET,
+            batch_flag_col=flag,
+            lineage_acc=acc,
         )
-        m = table.append_delta(folded, summary=summary, presharded=True)
+        m = table.append_delta(folded, summary=summary, presharded=True,
+                               finalize=finalize)
     else:
         # broadcast / shuffle COW paths take the pre-folded batch. The fold
         # output feeds bucket discovery and the merge write; deliberately
@@ -356,7 +382,7 @@ def apply_changes(
             summary=summary,
             strategy=strategy,
             affected=affected,
-            source_rows=batch_keys,
+            source_rows=batch_events,
         )
     return ApplyResult(job_id, epoch, skipped=False, version=m.version, lineage=lineage)
 
@@ -381,6 +407,12 @@ def replay(
     up-front job (`precompute_epoch_stats`); each epoch then costs exactly
     one merge-write job plus a manifest commit.
     """
+    import os as _os
+    import sys as _sys
+    import time as _time
+
+    _timing = _os.environ.get("SPARK_GRAFT_TIMING") == "1"
+    _t0 = _time.time()
     stats = (
         precompute_epoch_stats(
             table, changes,
@@ -394,14 +426,21 @@ def replay(
             for r in changes.select(epoch_col).distinct().collect()
         }
     )
+    if _timing:
+        print(f"TIMING precompute {_time.time() - _t0:.2f}s", file=_sys.stderr, flush=True)
+
     def _one(e: int) -> ApplyResult:
+        _te = _time.time()
         batch = changes.filter(F.col(epoch_col) == F.lit(e))
-        return apply_changes(
+        r = apply_changes(
             table, batch, job_id, int(e),
             collect_lineage=collect_lineage,
             precomputed=stats[e],
             **apply_kwargs,
         )
+        if _timing:
+            print(f"TIMING epoch={e} {_time.time() - _te:.2f}s", file=_sys.stderr, flush=True)
+        return r
 
     epochs = sorted(stats)
     if parallel_epochs > 1:
