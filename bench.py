@@ -55,7 +55,10 @@ HEADLINE = [
 # events is still run and recorded (hardware_saturation_8to32) with both
 # machine-ceiling probes so the single-box limit is evidenced, not assumed.
 CDC_EVENTS = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", "20000000"))
-CDC_EVENTS_SAT = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS_SAT", "100000000"))
+# Saturation record: 60M events (~16 GB generated text) saturates all 32
+# threads just as 100M did (throughput is flat past ~40M) but leaves room
+# for the pair inside the default budget after a noisy primary capture.
+CDC_EVENTS_SAT = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS_SAT", "60000000"))
 CDC_EPOCHS = int(os.environ.get("SPARK_GRAFT_CDC_EPOCHS", "2"))
 CDC_TEXT_CHARS = int(os.environ.get("SPARK_GRAFT_CDC_TEXT_CHARS", "256"))
 

@@ -1,0 +1,100 @@
+"""spark-submit entry point: replay a change log into a transcripts table.
+
+The north rule's deployment surface — the SAME job, shipped as
+`spark-submit --py-files go_tfdata_spark.zip scripts/submit_replay.py`,
+run at two cluster sizes (N and 4N executors). In the sandbox the two
+"cluster sizes" are `--master local[N]` / `local[4N]` (see
+BENCH/BASELINE.md); on a real cluster the identical command line runs
+unchanged with a YARN/K8s master. The engine package arrives via
+--py-files (sc.addPyFile distribution), NOT via a driver-local install —
+exactly how a multi-executor cluster receives it.
+
+Build the zip:   python scripts/submit_replay.py --make-zip /tmp/e.zip
+Run:             spark-submit --master local[8] --py-files /tmp/e.zip \
+                     scripts/submit_replay.py --table /x/t --log /x/log \
+                     --job-id j --create
+
+Prints one JSON line: {"events": N, "sec": ..., "events_per_sec": ...,
+"epochs": [...], "version": V}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+import zipfile
+
+
+def make_zip(out_path: str) -> str:
+    """Package go_tfdata_spark into a --py-files-able zip."""
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = os.path.join(pkg_root, "go_tfdata_spark")
+    with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as z:
+        for dirpath, _dirnames, filenames in os.walk(src):
+            for fn in sorted(filenames):
+                if not fn.endswith(".py"):
+                    continue
+                full = os.path.join(dirpath, fn)
+                z.write(full, os.path.relpath(full, pkg_root))
+    return out_path
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--make-zip", help="write the --py-files zip and exit")
+    p.add_argument("--table", help="lake table path")
+    p.add_argument("--log", help="parquet change-log path")
+    p.add_argument("--job-id", default="submit")
+    p.add_argument("--create", action="store_true",
+                   help="create the table if absent (idempotent across resubmits)")
+    p.add_argument("--num-buckets", type=int, default=16)
+    p.add_argument("--merge-strategy", default="auto")
+    args = p.parse_args()
+
+    if args.make_zip:
+        print(make_zip(args.make_zip))
+        return
+    if not (args.table and args.log):
+        p.error("--table and --log are required (or --make-zip)")
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.getOrCreate()
+    # Imports AFTER the session exists: the package resolves from the
+    # --py-files zip that spark-submit registered on the context.
+    from go_tfdata_spark.lake.table import LakeTable
+    from go_tfdata_spark.model import TRANSCRIPTS_SCHEMA
+    from go_tfdata_spark.operators.merge import create_transcripts_table, replay
+    from go_tfdata_spark.sources.changes import read_change_log
+
+    try:
+        table = LakeTable.load(spark, args.table)
+    except FileNotFoundError:
+        if not args.create:
+            raise
+        table = create_transcripts_table(
+            spark, args.table, TRANSCRIPTS_SCHEMA, num_buckets=args.num_buckets
+        )
+    log = read_change_log(spark, args.log)
+    n_events = log.count()
+    t0 = time.time()
+    results = replay(table, log, job_id=args.job_id,
+                     merge_strategy=args.merge_strategy)
+    dt = time.time() - t0
+    out = {
+        "events": n_events,
+        "sec": round(dt, 3),
+        "events_per_sec": round(n_events / dt) if dt > 0 else None,
+        "epochs": [r.epoch for r in results],
+        "skipped": [r.epoch for r in results if r.skipped],
+        "version": table.current_version(),
+    }
+    print(json.dumps(out))
+    sys.stdout.flush()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,80 @@
+"""The north rule's deployment surface: the SAME job via `spark-submit
+--py-files <engine.zip>` — the package reaches the job through the zip,
+not a driver-local install, exactly as a multi-executor cluster run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+from go_tfdata_spark.operators.merge import read_table
+from go_tfdata_spark.sources.changes import synthetic_changes, write_change_log
+from tests.oracle import assert_final_state_equal, sequential_apply
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _spark_submit() -> str | None:
+    exe = shutil.which("spark-submit")
+    if exe:
+        return exe
+    cand = os.path.join(os.environ.get("SPARK_HOME", "/opt/spark"), "bin", "spark-submit")
+    return cand if os.path.exists(cand) else None
+
+
+@pytest.mark.skipif(_spark_submit() is None, reason="spark-submit not on PATH")
+def test_spark_submit_py_files_replay(spark, tmp_path):
+    zip_path = str(tmp_path / "engine.zip")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "submit_replay.py"),
+         "--make-zip", zip_path],
+        capture_output=True, text=True, check=True,
+    )
+    assert os.path.getsize(zip_path) > 10_000
+
+    changes = synthetic_changes(spark, n_events=1500, n_epochs=2,
+                                delete_frac=0.1, late_frac=0.2, seed=31)
+    log_path = str(tmp_path / "log")
+    write_change_log(changes, log_path)
+    table_path = str(tmp_path / "t")
+
+    # Child env WITHOUT the repo on PYTHONPATH: the import must come from
+    # the --py-files zip, proving the cluster-shipping path works.
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    cmd = [
+        _spark_submit(), "--master", "local[2]",
+        "--conf", "spark.sql.shuffle.partitions=4",
+        "--conf", "spark.ui.enabled=false",
+        "--py-files", zip_path,
+        os.path.join(REPO, "scripts", "submit_replay.py"),
+        "--table", table_path, "--log", log_path,
+        "--job-id", "sub", "--create", "--num-buckets", "4",
+    ]
+    r = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                       cwd=str(tmp_path), timeout=300)
+    assert r.returncode == 0, r.stderr[-3000:]
+    out = json.loads([l for l in r.stdout.splitlines() if l.startswith("{")][-1])
+    assert out["events"] == 1500
+    assert out["epochs"] == [0, 1] and out["skipped"] == []
+
+    # Final state equals the sequential per-event oracle.
+    from go_tfdata_spark.lake.table import LakeTable
+    from go_tfdata_spark.operators import merge as M
+
+    table = LakeTable.load(spark, table_path)
+    oracle = sequential_apply(changes.toPandas(), ["role", "text", "tool", "ts"])
+    assert_final_state_equal(read_table(table), oracle)
+
+    # Re-submitting the identical job is exactly-once: every epoch skips.
+    r2 = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                        cwd=str(tmp_path), timeout=300)
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    out2 = json.loads([l for l in r2.stdout.splitlines() if l.startswith("{")][-1])
+    assert out2["skipped"] == [0, 1]
+    assert out2["version"] == out["version"]
