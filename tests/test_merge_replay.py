@@ -131,6 +131,31 @@ def test_lineage_metrics(spark, tmp_path):
         assert got[(int(r.epoch), int(r.src_part))] == r.wm
 
 
+@pytest.mark.parametrize("strategy", ["aligned", "mor"])
+def test_lineage_counts_ride_the_merge_fold(spark, tmp_path, strategy):
+    """rows_upserted/rows_deleted come from the merge fold's accumulator on
+    the dense strategies — they must equal the per-(epoch, src_part)
+    winner-op counts of an independent pandas fold (the broadcast path's
+    slim-fold fallback is covered by test_lineage_metrics)."""
+    changes = synthetic_changes(spark, n_events=1500, n_epochs=2,
+                                delete_frac=0.2, n_src_parts=3, seed=21)
+    table = create_transcripts_table(
+        spark, str(tmp_path / f"linacc-{strategy}"), TRANSCRIPTS_SCHEMA, num_buckets=4
+    )
+    replay(table, changes, job_id="j", merge_strategy=strategy)
+    lm = lineage_metrics(table, "j").toPandas()
+    assert lm.offsets_applied.sum() == 1500
+    pdf = changes.toPandas()
+    winners = pdf.sort_values(["ts", "lsn", "src_part"], kind="stable").drop_duplicates(
+        ["epoch", "conv_id", "turn_idx"], keep="last"
+    )
+    for (e, sp), grp in winners.groupby(["epoch", "src_part"]):
+        row = lm[(lm.epoch == e) & (lm.src_part == sp)]
+        assert len(row) == 1
+        assert int(row.rows_upserted.iloc[0]) == int((grp.op != "D").sum())
+        assert int(row.rows_deleted.iloc[0]) == int((grp.op == "D").sum())
+
+
 def test_mor_replay_matches_oracle_and_compacts(spark, tmp_path):
     """Merge-on-read mode: epochs append delta files (no target rewrite);
     reads resolve LWW; compaction folds deltas into base with identical
