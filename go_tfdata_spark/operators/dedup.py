@@ -352,7 +352,20 @@ def embedding_near_dups(
             "pass exact=True to opt into the quadratic baseline"
         )
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        probe = df.select(vec_col).first()
+        if probe is None:  # empty input: no pairs, skip the bucket plan
+            from pyspark.sql import types as T
+
+            idt = df.schema[id_col].dataType
+            return df.sparkSession.createDataFrame(
+                [],
+                T.StructType([
+                    T.StructField("id_a", idt),
+                    T.StructField("id_b", idt),
+                    T.StructField("cos", T.DoubleType()),
+                ]),
+            )
+        dim = len(probe[0])
 
     def bucket(vc, planes):
         out = F.lit(0)
