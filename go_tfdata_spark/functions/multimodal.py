@@ -59,8 +59,11 @@ def _decode_any(payload: bytes) -> np.ndarray:
     if sniff_format(payload) in ("png", "ppm"):
         img = decode_image(payload).astype(np.float32) / 255.0
         if img.ndim == 3:  # luminance fold, BT.601-ish
-            w = np.array([0.299, 0.587, 0.114, 0.0], dtype=np.float32)[: img.shape[2]]
-            img = img @ (w / max(w.sum(), 1e-6))
+            if img.shape[2] == 2:  # grey+alpha: luminance is channel 0 alone
+                img = img[..., 0]
+            else:
+                w = np.array([0.299, 0.587, 0.114, 0.0], dtype=np.float32)[: img.shape[2]]
+                img = img @ (w / max(w.sum(), 1e-6))
         return img
     return _fake_decode(payload)
 

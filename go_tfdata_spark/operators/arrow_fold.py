@@ -86,6 +86,7 @@ def aligned_lww_fold(
     bucket_col: str | None = None,
     batch_flag_col: str | None = None,
     lineage_acc=None,
+    all_batch: bool = False,
     src_part_col: str = "_src_part",
     deleted_col: str = "_deleted",
 ) -> DataFrame:
@@ -106,6 +107,11 @@ def aligned_lww_fold(
     Counts are keyed by partition id and REPLACED, not summed, on merge,
     so task retries/speculation cannot double-count. The flag column is
     dropped from the output.
+
+    `all_batch=True` (the MOR path: EVERY input row is a change-batch row)
+    derives the counts from the already-computed winner table instead of
+    maintaining a second slim fold whose input equals the main fold's —
+    no flag column, no duplicated sort/group work per task.
     """
     import pyarrow as pa
 
@@ -167,10 +173,13 @@ def aligned_lww_fold(
             if buf_rows >= max(64_000, 0 if winners is None else len(winners)):
                 squash()
         squash()
-        if lineage_acc is not None and bwin is not None and len(bwin):
-            import pyarrow.compute as pc
-
-            grp = bwin.select([src_part_col, deleted_col]).group_by(
+        count_src = None
+        if lineage_acc is not None:
+            # all_batch: the winner table IS the batch winner set — count it
+            # directly instead of having folded a duplicate slim projection.
+            count_src = winners if all_batch else bwin
+        if count_src is not None and len(count_src):
+            grp = count_src.select([src_part_col, deleted_col]).group_by(
                 [src_part_col, deleted_col], use_threads=False
             ).aggregate([([], "count_all")])
             counts = {}

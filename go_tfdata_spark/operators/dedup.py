@@ -28,23 +28,54 @@ _MERSENNE = 2**31 - 1
 
 # Narrow intermediates persisted by the multi-consumer pipelines below
 # (exploded shingles, minhash signatures). Their consumers are lazy, so the
-# operator cannot unpersist before returning; instead each new dedup
-# invocation releases the previous invocation's caches (`_take_cache`), so a
-# long-lived session holds at most one invocation's worth of cached blocks.
+# operator cannot unpersist before returning; instead the registry keeps the
+# `_MAX_LIVE_CACHES` most recent invocations' caches and evicts older ones,
+# so a long-lived session's cached footprint stays bounded WITHOUT yanking
+# the cache out from under a still-unconsumed DataFrame returned by the
+# immediately-preceding call (or a concurrent thread's in-flight query —
+# the registry is lock-guarded). `release_caches()` drops everything.
+import threading as _threading
+
 _LIVE_CACHES: list = []
+_CACHE_LOCK = _threading.Lock()
+_MAX_LIVE_CACHES = 4
 
 
 def _take_cache(df: DataFrame) -> DataFrame:
-    release_caches()
     df = df.persist()
-    _LIVE_CACHES.append(df)
+    evicted = []
+    with _CACHE_LOCK:
+        _LIVE_CACHES.append(df)
+        while len(_LIVE_CACHES) > _MAX_LIVE_CACHES:
+            evicted.append(_LIVE_CACHES.pop(0))
+    for old in evicted:  # unpersist outside the lock (it can run a JVM call)
+        old.unpersist()
     return df
 
 
 def release_caches() -> None:
-    """Drop cached dedup intermediates (also callable by long-lived apps)."""
-    while _LIVE_CACHES:
-        _LIVE_CACHES.pop().unpersist()
+    """Drop ALL cached dedup intermediates (for long-lived apps that know
+    no returned DataFrame is still pending consumption)."""
+    with _CACHE_LOCK:
+        evicted, _LIVE_CACHES[:] = list(_LIVE_CACHES), []
+    for old in evicted:
+        old.unpersist()
+
+
+_SIZE_SUFFIX = {
+    "": 1, "b": 1,
+    "k": 1 << 10, "kb": 1 << 10,
+    "m": 1 << 20, "mb": 1 << 20,
+    "g": 1 << 30, "gb": 1 << 30,
+    "t": 1 << 40, "tb": 1 << 40,
+}
+
+
+def _parse_bytes(value: str) -> int:
+    """Spark byte-size string ('134217728', '128m', '64MB') -> bytes."""
+    s = str(value).strip().lower()
+    num = s.rstrip("kmgtb")
+    return int(num) * _SIZE_SUFFIX[s[len(num):]]
 
 
 def _ensure_parallelism(df: DataFrame, *cols: str) -> DataFrame:
@@ -76,16 +107,16 @@ def _ensure_parallelism(df: DataFrame, *cols: str) -> DataFrame:
         if all(p.scheme in ("file", "") for p in paths):
             try:
                 total = sum(os.path.getsize(p.path) for p in paths)
-                max_split = int(
+                max_split = _parse_bytes(
                     df.sparkSession.conf.get(
                         "spark.sql.files.maxPartitionBytes", "134217728"
-                    ).rstrip("b")
+                    )
                 )
                 est_splits = max(len(files), total // max_split)
                 if est_splits * 2 >= want:
                     return df
                 return df.repartition(want, *[F.col(c) for c in cols])
-            except OSError:
+            except (OSError, ValueError):
                 pass
     if df.rdd.getNumPartitions() * 2 < want:
         return df.repartition(want, *[F.col(c) for c in cols])
@@ -207,18 +238,17 @@ def lsh_candidate_pairs(
     id_col: str,
     bands: int = 4,
     sig_col: str = "sig",
-    sig_len: int | None = None,
+    *,
+    sig_len: int,
 ) -> DataFrame:
     """Band the signatures and emit candidate pairs that collide in >=1 band.
 
     groupBy (band_idx, band_hash) keeps candidate generation linear in the
-    corpus; only same-bucket docs are paired. Pass `sig_len` (the signature
-    length, i.e. num_hashes) to keep this a pure plan transformation; when
-    omitted it is probed with one tiny job (avoid in loops).
+    corpus; only same-bucket docs are paired. `sig_len` (the signature
+    length, i.e. num_hashes) is REQUIRED so this stays a pure plan
+    transformation — Spark's array type does not carry a length, and a
+    driver probe here would put a job inside any caller's loop.
     """
-    if sig_len is None:
-        probe = sig_df.select(F.size(sig_col).alias("n")).limit(1).collect()
-        sig_len = probe[0]["n"] if probe else bands
     rows_per_band = sig_len // bands
     banded = sig_df.select(
         F.col(id_col).alias("doc"),
@@ -332,8 +362,10 @@ def embedding_near_dups(
     shrinking buckets) before any cosine is computed. The quadratic
     brute-force self-join is the exactness baseline ONLY and must be
     requested explicitly with `exact=True` — calling this operator with
-    defaults never plans a cross join. Pass `dim` to avoid a driver probe
-    of the vector length."""
+    defaults never plans a cross join. `dim` (the embedding dimension) is
+    REQUIRED on the LSH path: the hyperplane matrix is built driver-side
+    and the array type does not carry a length, so inferring it would put
+    a driver probe job inside any caller's loop."""
     from go_tfdata_spark.functions.vectors import cosine_similarity
 
     df = _ensure_parallelism(df, id_col)
@@ -352,20 +384,11 @@ def embedding_near_dups(
             "pass exact=True to opt into the quadratic baseline"
         )
     if dim is None:
-        probe = df.select(vec_col).first()
-        if probe is None:  # empty input: no pairs, skip the bucket plan
-            from pyspark.sql import types as T
-
-            idt = df.schema[id_col].dataType
-            return df.sparkSession.createDataFrame(
-                [],
-                T.StructType([
-                    T.StructField("id_a", idt),
-                    T.StructField("id_b", idt),
-                    T.StructField("cos", T.DoubleType()),
-                ]),
-            )
-        dim = len(probe[0])
+        raise ValueError(
+            "dim (embedding dimension) is required for the LSH path — "
+            "no driver probe is ever run; pass exact=True for the "
+            "quadratic baseline if you cannot know the dimension"
+        )
 
     def bucket(vc, planes):
         out = F.lit(0)

@@ -148,7 +148,9 @@ def _lineage_base(changes: DataFrame) -> list[dict]:
         changes.groupBy("src_part")
         .agg(
             F.count(F.lit(1)).alias("offsets_applied"),
-            F.max("ts").alias("watermark"),
+            # epoch micros: an absolute instant, independent of the driver
+            # session's timezone (naive isoformat would shift across TZs)
+            F.max(F.unix_micros("ts")).alias("watermark"),
         )
         .collect()
     )
@@ -158,7 +160,7 @@ def _lineage_base(changes: DataFrame) -> list[dict]:
             "offsets_applied": int(r["offsets_applied"]),
             "rows_upserted": None,
             "rows_deleted": None,
-            "watermark": r["watermark"].isoformat() if r["watermark"] else None,
+            "watermark": int(r["watermark"]) if r["watermark"] is not None else None,
         }
         for r in rows
     ]
@@ -226,7 +228,7 @@ def precompute_epoch_stats(
         .groupBy(epoch_col, "src_part")
         .agg(
             F.count(F.lit(1)).alias("offsets_applied"),
-            F.max("ts").alias("watermark"),
+            F.max(F.unix_micros("ts")).alias("watermark"),
             F.collect_set("_b").alias("bks"),
         )
         .collect()
@@ -242,7 +244,7 @@ def precompute_epoch_stats(
                 "offsets_applied": int(r["offsets_applied"]),
                 "rows_upserted": None,
                 "rows_deleted": None,
-                "watermark": r["watermark"].isoformat() if r["watermark"] else None,
+                "watermark": int(r["watermark"]) if r["watermark"] is not None else None,
             }
         )
     for s in stats.values():
@@ -345,26 +347,22 @@ def apply_changes(
         # merge-on-read: append the folded batch as delta files (write
         # O(batch), no target scan); reads/compaction resolve LWW. The batch
         # fold runs on the write layout (Arrow kernel) so the delta write is
-        # presharded — one payload shuffle, like the aligned COW path. All
-        # fold input rows are batch rows, so the lineage flag is constant.
+        # presharded — one payload shuffle, like the aligned COW path. Every
+        # fold input row is a batch row, so lineage counts come straight off
+        # the winner table (`all_batch`) — no second slim fold per task.
         from go_tfdata_spark.lake.table import _WRITE_SPLITS_PER_BUCKET
         from go_tfdata_spark.operators.arrow_fold import aligned_lww_fold
 
         snap = table.snapshot()
-        phys = physical_rows(changes, key_cols)
-        flag = None
-        if acc is not None:
-            flag = "_fold_src"
-            phys = phys.withColumn(flag, F.lit(True))
         folded = aligned_lww_fold(
-            phys,
+            physical_rows(changes, key_cols),
             key_cols=key_cols,
             order_cols=phys_order,
             bucket_by=snap.bucket_by,
             num_buckets=snap.num_buckets,
             splits=_WRITE_SPLITS_PER_BUCKET,
-            batch_flag_col=flag,
             lineage_acc=acc,
+            all_batch=acc is not None,
         )
         m = table.append_delta(folded, summary=summary, presharded=True,
                                finalize=finalize)
@@ -459,7 +457,13 @@ def replay(
 
 
 def lineage_metrics(table: LakeTable, job_id: str | None = None) -> DataFrame:
-    """Materialize the lineage table (FIXTURES.md §5) from the manifest chain."""
+    """Materialize the lineage table (FIXTURES.md §5) from the manifest chain.
+
+    Watermarks are stored in the manifest as epoch micros (absolute
+    instants) and reconstructed with `timestamp_micros`, so a table written
+    under one driver timezone reads identically under any other. Manifests
+    written by older engine versions carry naive isoformat strings; those
+    are parsed as-is (legacy, session-TZ-dependent by construction)."""
     from datetime import datetime
 
     rows = []
@@ -469,6 +473,8 @@ def lineage_metrics(table: LakeTable, job_id: str | None = None) -> DataFrame:
             continue
         for ln in s.get("lineage", []):
             wm = ln.get("watermark")
+            wm_us = wm if isinstance(wm, int) else None
+            wm_legacy = datetime.fromisoformat(wm) if isinstance(wm, str) else None
             rows.append(
                 (
                     s.get("job_id"),
@@ -477,8 +483,22 @@ def lineage_metrics(table: LakeTable, job_id: str | None = None) -> DataFrame:
                     ln["offsets_applied"],
                     ln["rows_upserted"],
                     ln["rows_deleted"],
-                    datetime.fromisoformat(wm) if wm else None,
+                    wm_us,
+                    wm_legacy,
                 )
             )
-    df = table.spark.createDataFrame(rows, LINEAGE_SCHEMA)
-    return df
+    base_fields = [f for f in LINEAGE_SCHEMA.fields if f.name != "watermark"]
+    build_schema = T.StructType(
+        base_fields
+        + [
+            T.StructField("_wm_us", T.LongType(), True),
+            T.StructField("_wm_legacy", T.TimestampType(), True),
+        ]
+    )
+    df = table.spark.createDataFrame(rows, build_schema)
+    return df.select(
+        *[f.name for f in base_fields],
+        F.coalesce(
+            F.timestamp_micros(F.col("_wm_us")), F.col("_wm_legacy")
+        ).alias("watermark"),
+    )

@@ -8,6 +8,13 @@
   nearest centroid at index-build time (one shuffle), queries probe only
   the closest `nprobe` cells. At 100 TB the probe prunes the scan to
   nprobe/ncells of the corpus.
+
+Cell assignment is a broadcast-centroid numpy argmax inside ONE
+`mapInArrow` stage: plan size is O(1) in `ncells` (the previous Catalyst
+formulation built `ncells` nested `greatest(struct(...))` expressions per
+row — codegen fell over in the thousands of cells a 100 TB corpus wants),
+and the per-batch work is a single BLAS matmul (rows x dim) @ (dim x
+ncells).
 """
 
 from __future__ import annotations
@@ -38,7 +45,8 @@ class IVFIndex:
     smallest md5(id) — a deterministic uniform sample that assumes NOTHING
     about the id space (dense, sparse, or hashed ids all yield exactly
     min(ncells, n) centroids) and costs one TakeOrderedAndProject job, no
-    count(). Rows are assigned to their nearest centroid."""
+    count(). Rows are assigned to their nearest centroid by cosine
+    (ties -> largest cell id, matching `greatest(struct(cos, cell))`)."""
 
     def __init__(self, df: DataFrame, vec_col: str, id_col: str, ncells: int = 16):
         self.vec_col, self.id_col, self.ncells = vec_col, id_col, ncells
@@ -48,18 +56,49 @@ class IVFIndex:
             .limit(ncells)
         )
         self.centroids = [(r["cell"], list(r["cvec"])) for r in cents.collect()]
-        cell = self._nearest_cell_expr(F.col(vec_col))
-        self.assigned = df.withColumn("_cell", cell)
+        self.assigned = self._assign(df)
 
-    def _nearest_cell_expr(self, vc):
-        best = None
-        for cid, cvec in self.centroids:
-            s = F.struct(
-                cosine_similarity(vc, _qvec(cvec)).alias("cos"),
-                F.lit(cid).alias("cell"),
-            )
-            best = s if best is None else F.greatest(best, s)
-        return best["cell"]
+    def _assign(self, df: DataFrame) -> DataFrame:
+        import numpy as np
+        import pyarrow as pa
+        from pyspark.sql.types import StructField, StructType
+
+        # Columns ordered by DESCENDING cell id: np.argmax returns the FIRST
+        # max, so exact-cosine ties resolve to the largest cell id — the
+        # same tie-break the old greatest(struct(cos, cell)) expression had.
+        cents = sorted(self.centroids, key=lambda cv: cv[0], reverse=True)
+        ids_desc = [c for c, _ in cents]
+        C = np.array([v for _, v in cents], dtype=np.float64)
+        Cn = (C / (np.linalg.norm(C, axis=1, keepdims=True) + 1e-12)).T  # dim x ncells
+        bc = df.sparkSession.sparkContext.broadcast((ids_desc, Cn))
+
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        cell_field = StructField("_cell", df.schema[self.id_col].dataType, True)
+        out_schema = StructType(list(df.schema.fields) + [cell_field])
+        cell_type = to_arrow_type(cell_field.dataType)
+        vec_col = self.vec_col
+
+        def assign(batches):
+            ids_desc, Cn = bc.value
+            id_arr = np.asarray(ids_desc)
+            for rb in batches:
+                if rb.num_rows == 0:
+                    continue
+                col = rb.column(rb.schema.get_field_index(vec_col))
+                dim = Cn.shape[0]
+                try:  # zero-copy path: uniform-length list array, no nulls
+                    X = np.asarray(col.flatten(), dtype=np.float64).reshape(-1, dim)
+                    if X.shape[0] != rb.num_rows:
+                        raise ValueError
+                except ValueError:
+                    X = np.array(col.to_pylist(), dtype=np.float64).reshape(-1, dim)
+                Xn = X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-12)
+                best = np.argmax(Xn @ Cn, axis=1)  # one matmul per batch
+                cells = pa.array(id_arr[best]).cast(cell_type)
+                yield rb.append_column("_cell", cells)
+
+        return df.mapInArrow(assign, out_schema)
 
     def topk(self, query: list[float], k: int = 10, nprobe: int = 4) -> DataFrame:
         import numpy as np

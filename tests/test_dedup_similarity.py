@@ -76,15 +76,18 @@ def test_embedding_near_dups_and_lsh_buckets(spark):
              embedding_near_dups(df, "vec_id", "v", threshold=0.95, exact=True).collect()}
     assert brute == {(0, 1)}
     lsh = {(r["id_a"], r["id_b"]) for r in
-           embedding_near_dups(df, "vec_id", "v", threshold=0.95, hyperplanes=4).collect()}
+           embedding_near_dups(df, "vec_id", "v", threshold=0.95, hyperplanes=4, dim=4).collect()}
     assert lsh <= brute  # bucketing may lose recall, never adds false pairs
     assert (0, 3) not in lsh
     # OR-amplification: more tables never loses pairs vs one table, never
     # adds false positives vs brute force
     multi = {(r["id_a"], r["id_b"]) for r in
              embedding_near_dups(df, "vec_id", "v", threshold=0.95,
-                                 hyperplanes=4, tables=3).collect()}
+                                 hyperplanes=4, tables=3, dim=4).collect()}
     assert lsh <= multi <= brute
+    # dim is required on the LSH path (no silent driver probe)
+    with pytest.raises(ValueError, match="dim"):
+        embedding_near_dups(df, "vec_id", "v", threshold=0.95, hyperplanes=4)
 
 
 def test_embedding_near_dups_default_never_plans_cartesian(spark):
@@ -135,6 +138,43 @@ def test_ivf_topk_matches_brute_force(spark):
     idx = IVFIndex(df, "v", "vec_id", ncells=8)
     approx = [r["vec_id"] for r in idx.topk(q, k=5, nprobe=8).collect()]
     # probing ALL cells == exact search
+    assert approx == exact
+
+
+def test_ivf_vectorized_assignment_many_cells(spark):
+    """Cell assignment is ONE mapInArrow stage whose plan size is O(1) in
+    ncells (regression: the Catalyst formulation nested ncells
+    greatest(struct(...)) calls per row — codegen/expression-tree blowup in
+    the hundreds of cells a large corpus wants). ncells=256 over sparse
+    hashed ids; assignment verified against an independent numpy argmax."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    ids = sorted({int(x) for x in rng.randint(0, 2**62, size=420, dtype=np.int64)})[:400]
+    vecs = rng.randn(400, 8)
+    df = spark.createDataFrame(
+        [(ids[i], [float(x) for x in vecs[i]]) for i in range(400)],
+        "vec_id long, v array<double>",
+    )
+    idx = IVFIndex(df, "v", "vec_id", ncells=256)
+    assert len(idx.centroids) == 256
+    plan = idx.assigned._jdf.queryExecution().executedPlan().toString()
+    assert "greatest" not in plan  # no O(ncells) expression tree
+    assert plan.count("MapInArrow") == 1
+    # independent assignment oracle: max cosine, ties -> largest cell id
+    cents_desc = sorted(idx.centroids, key=lambda cv: cv[0], reverse=True)
+    cids = np.array([c for c, _ in cents_desc])
+    cmat_desc = np.array([v for _, v in cents_desc])
+    cn = cmat_desc / np.linalg.norm(cmat_desc, axis=1, keepdims=True)
+    by_id = {ids[i]: vecs[i] for i in range(400)}
+    got = {r["vec_id"]: r["_cell"] for r in idx.assigned.select("vec_id", "_cell").collect()}
+    for vid, v in by_id.items():
+        vn = v / np.linalg.norm(v)
+        assert got[vid] == int(cids[int(np.argmax(vn @ cn.T))])
+    # probing every cell == exact search
+    q = [float(x) for x in vecs[3]]
+    exact = [r["vec_id"] for r in brute_force_topk(df, "v", q, k=5, id_col="vec_id").collect()]
+    approx = [r["vec_id"] for r in idx.topk(q, k=5, nprobe=256).collect()]
     assert approx == exact
 
 
