@@ -514,6 +514,38 @@ def _q_frame_sample(spark, sf):
     )
 
 
+def _q_lineage_metrics(spark, sf):
+    """The north rule's per-partition lineage surface, driver-verified: a
+    seeded replay of the events-derived change stream into a per-pid temp
+    lake, then `lineage_metrics` materialized from the manifest chain. The
+    oracle restates the change mapping + per-epoch winner fold over the
+    events table INDEPENDENTLY in SQL — equality proves offsets, winner-op
+    counts, and watermarks survive the fold + atomic-commit path exactly.
+    Watermark is compared as epoch micros (timezone-independent)."""
+    import shutil
+
+    from go_tfdata_spark.model import TRANSCRIPTS_SCHEMA
+    from go_tfdata_spark.operators.merge import (
+        create_transcripts_table,
+        lineage_metrics,
+        replay,
+    )
+
+    changes = _events_as_changes(_t(spark, sf, "events"))
+    base = os.path.join(tempfile.gettempdir(), f"go_tfdata_spark_lin_{os.getpid()}")
+    shutil.rmtree(base, ignore_errors=True)
+    table = create_transcripts_table(
+        spark, os.path.join(base, "t"), TRANSCRIPTS_SCHEMA, num_buckets=8
+    )
+    replay(table, changes, job_id="lin")
+    lm = lineage_metrics(table, "lin")
+    return lm.select(
+        "job_id", "epoch", "src_part", "offsets_applied",
+        "rows_upserted", "rows_deleted",
+        F.unix_micros("watermark").alias("wm_us"),
+    )
+
+
 def _q_props_sum(spark, sf):
     """JSON-ish payload extraction (from_json analog of the reference's JSON
     marshal fallback) aggregated per user."""
@@ -695,6 +727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "ann_topk": _q_ann_topk,
         "embedding_near_dups": _q_embedding_near_dups,
+        "lineage_metrics": _q_lineage_metrics,
         "props_sum": _q_props_sum,
         "json_payload": _q_json_payload,
         "events_per_day": _q_events_per_day,
@@ -939,6 +972,41 @@ def oracle_sql() -> dict[str, str]:
                  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
           WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+        """,
+        # lineage_metrics: independent SQL restatement of the change mapping
+        # (_events_as_changes) + per-epoch LWW winner fold — offsets and
+        # watermark from the raw stream, winner-op counts from the fold,
+        # exactly what the engine embeds in each atomic commit.
+        "lineage_metrics": """
+          WITH ch AS (
+            SELECT CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+                   event_id AS lsn, ts,
+                   'u' || user_id::VARCHAR AS conv_id,
+                   (event_id % 8)::INT AS turn_idx,
+                   (event_id % 2)::INT AS epoch,
+                   (user_id % 4)::INT AS src_part
+            FROM events
+          ), offs AS (
+            SELECT epoch, src_part, count(*) AS offsets_applied,
+                   max(epoch_us(ts)) AS wm_us
+            FROM ch GROUP BY epoch, src_part
+          ), winners AS (
+            SELECT * FROM (
+              SELECT ch.*, row_number() OVER (
+                PARTITION BY epoch, conv_id, turn_idx
+                ORDER BY ts DESC, lsn DESC, src_part DESC) rn FROM ch)
+            WHERE rn = 1
+          ), cnt AS (
+            SELECT epoch, src_part,
+                   count(CASE WHEN op <> 'D' THEN 1 END) AS rows_upserted,
+                   count(CASE WHEN op = 'D' THEN 1 END) AS rows_deleted
+            FROM winners GROUP BY epoch, src_part
+          )
+          SELECT 'lin' AS job_id, o.epoch, o.src_part, o.offsets_applied,
+                 coalesce(c.rows_upserted, 0)::BIGINT AS rows_upserted,
+                 coalesce(c.rows_deleted, 0)::BIGINT AS rows_deleted,
+                 o.wm_us
+          FROM offs o LEFT JOIN cnt c USING (epoch, src_part)
         """,
         "props_sum": """
           SELECT user_id, sum(regexp_extract(props, '[0-9]+', 0)::BIGINT)::BIGINT AS props_sum

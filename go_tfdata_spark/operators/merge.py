@@ -140,6 +140,25 @@ class ApplyResult:
     lineage: list[dict]
 
 
+def _ts_micros(df: DataFrame, col: str = "ts"):
+    """Epoch-micros expression for a timestamp column, independent of the
+    driver session's timezone for BOTH timestamp flavors:
+
+    - TIMESTAMP (an absolute instant): `unix_micros` directly;
+    - TIMESTAMP_NTZ (e.g. plain parquet scans): `unix_micros` rejects it
+      and every NTZ->TIMESTAMP cast reinterprets through the session TZ, so
+      micros are composed from `unix_timestamp` (verified session-TZ-
+      independent on NTZ: naive-as-UTC, matching DuckDB epoch_us) plus the
+      sub-second part of extract(SECOND). Assumes post-1970 data (the
+      truncation in unix_timestamp floors toward zero)."""
+    if isinstance(df.schema[col].dataType, T.TimestampNTZType):
+        frac = (
+            F.expr(f"extract(SECOND FROM {col})") * F.lit(1_000_000)
+        ).cast("long") % F.lit(1_000_000)
+        return F.unix_timestamp(F.col(col)) * F.lit(1_000_000) + frac
+    return F.unix_micros(F.col(col))
+
+
 def _lineage_base(changes: DataFrame) -> list[dict]:
     """Per-src-partition offsets + watermark (one cheap map-side-combining
     aggregate). Winner-op counts stay None — filled either by the merge
@@ -150,7 +169,7 @@ def _lineage_base(changes: DataFrame) -> list[dict]:
             F.count(F.lit(1)).alias("offsets_applied"),
             # epoch micros: an absolute instant, independent of the driver
             # session's timezone (naive isoformat would shift across TZs)
-            F.max(F.unix_micros("ts")).alias("watermark"),
+            F.max(_ts_micros(changes)).alias("watermark"),
         )
         .collect()
     )
@@ -228,7 +247,7 @@ def precompute_epoch_stats(
         .groupBy(epoch_col, "src_part")
         .agg(
             F.count(F.lit(1)).alias("offsets_applied"),
-            F.max(F.unix_micros("ts")).alias("watermark"),
+            F.max(_ts_micros(changes)).alias("watermark"),
             F.collect_set("_b").alias("bks"),
         )
         .collect()
