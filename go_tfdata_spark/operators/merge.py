@@ -283,12 +283,21 @@ def apply_changes(
     collect_lineage: bool = True,
     merge_strategy: str = "auto",
     precomputed: dict | None = None,
+    auto_compact_deltas: int | None = None,
 ) -> ApplyResult:
     """Apply one change batch (micro-batch epoch or replay chunk) to `table`.
 
     Steps: ledger check -> additive schema evolution -> LWW fold (+ optional
     hot-key salting) -> tombstone fold -> order-conditional MERGE, with
     lineage embedded in the atomic commit.
+
+    `auto_compact_deltas` (opt-in, MOR only): after the delta commit, any
+    bucket holding >= that many delta FILES (each MOR epoch adds up to
+    `_WRITE_SPLITS_PER_BUCKET` per affected bucket) is compacted, bounding
+    read amplification under long MOR replays — without it a 10^5-epoch
+    stream accumulates O(epochs) delta files per bucket and every read pays
+    the resolve over all of them. Compaction here is advisory: losing a CAS
+    race to a concurrent epoch just postpones it to the next trigger.
     """
     validate_changes(changes, key_cols, order_cols)
     if table.is_committed(job_id, epoch):
@@ -385,6 +394,20 @@ def apply_changes(
         )
         m = table.append_delta(folded, summary=summary, presharded=True,
                                finalize=finalize)
+        if auto_compact_deltas is not None:
+            from go_tfdata_spark.lake.table import CommitConflict
+
+            per_bucket: dict = {}
+            for f in m.files:
+                if f.get("delta"):
+                    b = f.get("bucket")
+                    per_bucket[b] = per_bucket.get(b, 0) + 1
+            todo = [b for b, n in per_bucket.items() if n >= auto_compact_deltas]
+            if todo:
+                try:
+                    table.compact(buckets=todo)
+                except CommitConflict:
+                    pass  # a concurrent epoch won the version; retrigger later
     else:
         # broadcast / shuffle COW paths take the pre-folded batch. The fold
         # output feeds bucket discovery and the merge write; deliberately

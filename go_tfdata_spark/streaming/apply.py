@@ -30,14 +30,21 @@ def start_ingest(
     checkpoint_dir: str,
     available_now: bool = True,
     processing_time: str | None = None,
+    on_batch=None,
     **apply_kwargs,
 ) -> StreamingQuery:
     """Start the ingest query. `available_now=True` drains all currently
     available input then stops (the batch-replay-shaped trigger); pass
-    `processing_time` for a continuous micro-batch cadence."""
+    `processing_time` for a continuous micro-batch cadence. `on_batch`
+    (optional) is called with each batch's ApplyResult AFTER its lake
+    commit — a metrics/observability hook (also used by tests to inject a
+    crash between the lake commit and Spark's checkpoint commit, the
+    at-least-once window the ledger must absorb)."""
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        apply_changes(table, batch_df, job_id=job_id, epoch=int(batch_id), **apply_kwargs)
+        r = apply_changes(table, batch_df, job_id=job_id, epoch=int(batch_id), **apply_kwargs)
+        if on_batch is not None:
+            on_batch(r)
 
     writer = stream_df.writeStream.foreachBatch(_apply).option(
         "checkpointLocation", checkpoint_dir

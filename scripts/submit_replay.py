@@ -52,6 +52,15 @@ def main() -> None:
                    help="create the table if absent (idempotent across resubmits)")
     p.add_argument("--num-buckets", type=int, default=16)
     p.add_argument("--merge-strategy", default="auto")
+    p.add_argument("--stream", action="store_true",
+                   help="Structured Streaming ingest (readStream + foreachBatch) "
+                        "instead of batch replay; requires --checkpoint")
+    p.add_argument("--checkpoint", help="streaming checkpoint dir (--stream)")
+    p.add_argument("--max-files-per-trigger", type=int, default=1)
+    p.add_argument("--die-after-batches", type=int, default=0,
+                   help="crash-inject: os._exit after N applied batches, "
+                        "BETWEEN the lake commit and Spark's checkpoint "
+                        "commit (tests the exactly-once resume window)")
     args = p.parse_args()
 
     if args.make_zip:
@@ -78,6 +87,45 @@ def main() -> None:
         table = create_transcripts_table(
             spark, args.table, TRANSCRIPTS_SCHEMA, num_buckets=args.num_buckets
         )
+    if args.stream:
+        if not args.checkpoint:
+            p.error("--stream requires --checkpoint")
+        from pyspark.sql import functions as F
+
+        from go_tfdata_spark.operators.merge import lineage_metrics
+        from go_tfdata_spark.sources.changes import read_change_stream
+        from go_tfdata_spark.streaming.apply import start_ingest
+
+        applied: list[int] = []
+        skipped: list[int] = []
+
+        def on_batch(r) -> None:
+            (skipped if r.skipped else applied).append(r.epoch)
+            if args.die_after_batches and len(applied) >= args.die_after_batches:
+                os._exit(137)  # hard crash: checkpoint commit never happens
+
+        q = start_ingest(
+            table,
+            read_change_stream(spark, args.log,
+                               max_files_per_trigger=args.max_files_per_trigger),
+            job_id=args.job_id, checkpoint_dir=args.checkpoint,
+            merge_strategy=args.merge_strategy, on_batch=on_batch,
+        )
+        q.awaitTermination()  # availableNow: drains then stops
+        lm = lineage_metrics(table, args.job_id)
+        total = lm.agg(F.sum("offsets_applied")).first()[0]
+        out = {
+            "mode": "stream",
+            "applied_epochs": applied,
+            "skipped_epochs": skipped,
+            "offsets_total": int(total or 0),
+            "committed": sorted(table.committed_epochs(args.job_id)),
+            "version": table.current_version(),
+        }
+        print(json.dumps(out))
+        sys.stdout.flush()
+        return
+
     log = read_change_log(spark, args.log)
     n_events = log.count()
     t0 = time.time()

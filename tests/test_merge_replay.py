@@ -175,6 +175,39 @@ def test_mor_replay_matches_oracle_and_compacts(spark, tmp_path):
     assert_final_state_equal(read_table(table), oracle)
 
 
+def test_mor_auto_compaction_bounds_delta_files(spark, tmp_path):
+    """Opt-in auto-compaction keeps per-bucket delta file counts bounded
+    under a long MOR replay (without it they grow O(epochs)); final state
+    is unchanged and read plans scan fewer files."""
+    changes = synthetic_changes(spark, n_events=2400, n_epochs=12,
+                                delete_frac=0.1, seed=31)
+    t_auto = create_transcripts_table(
+        spark, str(tmp_path / "mora"), TRANSCRIPTS_SCHEMA, num_buckets=4
+    )
+    replay(t_auto, changes, job_id="j", merge_strategy="mor",
+           auto_compact_deltas=6)
+    t_ctl = create_transcripts_table(
+        spark, str(tmp_path / "morc"), TRANSCRIPTS_SCHEMA, num_buckets=4
+    )
+    replay(t_ctl, changes, job_id="j", merge_strategy="mor")
+
+    def delta_counts(table):
+        per_bucket: dict = {}
+        for f in table.snapshot().files:
+            if f.get("delta"):
+                b = f.get("bucket")
+                per_bucket[b] = per_bucket.get(b, 0) + 1
+        return per_bucket
+
+    auto, ctl = delta_counts(t_auto), delta_counts(t_ctl)
+    # bounded: below trigger + one epoch's worth of new deltas per bucket
+    assert all(n < 6 + 4 for n in auto.values())
+    assert sum(auto.values()) < sum(ctl.values())  # control grows unbounded
+    assert len(t_auto.snapshot().files) < len(t_ctl.snapshot().files)
+    oracle = sequential_apply(changes.toPandas(), PAYLOAD)
+    assert_final_state_equal(read_table(t_auto), oracle)
+
+
 def test_mixed_mor_then_cow(spark, tmp_path):
     changes = synthetic_changes(spark, n_events=1500, n_epochs=3, delete_frac=0.1, seed=11)
     table = create_transcripts_table(spark, str(tmp_path / "mix"), TRANSCRIPTS_SCHEMA, num_buckets=4)

@@ -78,3 +78,64 @@ def test_spark_submit_py_files_replay(spark, tmp_path):
     out2 = json.loads([l for l in r2.stdout.splitlines() if l.startswith("{")][-1])
     assert out2["skipped"] == [0, 1]
     assert out2["version"] == out["version"]
+
+
+@pytest.mark.skipif(_spark_submit() is None, reason="spark-submit not on PATH")
+def test_spark_submit_stream_kill_resume(spark, tmp_path):
+    """Checkpoint + ledger exactly-once OFF the driver process: a streaming
+    ingest launched via spark-submit --py-files is hard-killed between a
+    batch's lake commit and its Spark checkpoint commit (the at-least-once
+    window), then resumed on the same checkpoint. The resumed run must skip
+    the already-committed batch via the ledger; final state equals the
+    sequential oracle and every event is lineage-counted exactly once."""
+    zip_path = str(tmp_path / "engine.zip")
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "submit_replay.py"),
+         "--make-zip", zip_path],
+        capture_output=True, text=True, check=True,
+    )
+    n_events = 1500
+    changes = synthetic_changes(spark, n_events=n_events, n_epochs=3,
+                                delete_frac=0.1, late_frac=0.2, seed=33,
+                                num_partitions=1)
+    log_path = str(tmp_path / "slog")
+    write_change_log(changes, log_path)
+    table_path, ckpt = str(tmp_path / "st"), str(tmp_path / "ckpt")
+
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    base = [
+        _spark_submit(), "--master", "local[2]",
+        "--conf", "spark.sql.shuffle.partitions=4",
+        "--conf", "spark.ui.enabled=false",
+        "--py-files", zip_path,
+        os.path.join(REPO, "scripts", "submit_replay.py"),
+        "--table", table_path, "--log", log_path, "--checkpoint", ckpt,
+        "--job-id", "ks", "--create", "--num-buckets", "4", "--stream",
+    ]
+    # Run 1: crash-injected after 2 applied batches (os._exit(137) in the
+    # foreachBatch hook — before Spark's checkpoint commit for that batch).
+    r1 = subprocess.run(base + ["--die-after-batches", "2"],
+                        capture_output=True, text=True, env=env,
+                        cwd=str(tmp_path), timeout=300)
+    assert r1.returncode != 0  # it died mid-stream, as injected
+
+    # Run 2: resume on the same checkpoint, drain to completion.
+    r2 = subprocess.run(base, capture_output=True, text=True, env=env,
+                        cwd=str(tmp_path), timeout=300)
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    out = json.loads([l for l in r2.stdout.splitlines() if l.startswith("{")][-1])
+    # The batch whose checkpoint commit the crash swallowed was re-executed
+    # by Spark and SKIPPED by the ledger — never double-applied.
+    assert out["skipped_epochs"], out
+    assert not set(out["applied_epochs"]) & set(out["skipped_epochs"])
+    # ledger is gapless and covers every batch
+    assert out["committed"] == list(range(len(out["committed"])))
+    assert set(out["committed"]) == set(out["applied_epochs"]) | set(out["skipped_epochs"]) | {0, 1}
+    # every source event lineage-counted exactly once across both runs
+    assert out["offsets_total"] == n_events
+
+    from go_tfdata_spark.lake.table import LakeTable
+
+    table = LakeTable.load(spark, table_path)
+    oracle = sequential_apply(changes.toPandas(), ["role", "text", "tool", "ts"])
+    assert_final_state_equal(read_table(table), oracle)
