@@ -15,9 +15,9 @@ filters — so the PRIMARY reference format is implemented for real here:
   every decode path).
 - ``decode_ppm`` / ``encode_ppm``: binary P6/P5 NetPBM, trivially exact.
 
-JPEG/GIF decode stays out of scope (a DCT/LZW codec is a library, not a
-function); ``sniff_format`` reports them so callers can route to the
-deterministic stub instead of mis-decoding.
+GIF decode/encode lives in functions/gif.py (pure-Python LZW). JPEG decode
+stays out of scope (a DCT/Huffman codec); ``sniff_format`` reports it so
+callers can route to the deterministic stub instead of mis-decoding.
 """
 
 from __future__ import annotations
@@ -224,11 +224,15 @@ def encode_ppm(img: np.ndarray) -> bytes:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Decode PNG or PPM by magic; raises on unsupported formats (JPEG/GIF
-    — the reference's remaining GetImage formats need a real DCT/LZW lib)."""
+    """Decode PNG, PPM, or GIF by magic; raises on unsupported formats
+    (JPEG — the last GetImage format — needs a DCT/Huffman codec)."""
     fmt = sniff_format(payload)
     if fmt == "png":
         return decode_png(payload)
     if fmt == "ppm":
         return decode_ppm(payload)
+    if fmt == "gif":
+        from go_tfdata_spark.functions.gif import decode_gif
+
+        return decode_gif(payload)
     raise ValueError(f"unsupported or unrecognized image format: {fmt!r}")
