@@ -52,13 +52,18 @@ def _fake_decode(payload: bytes) -> np.ndarray:
 
 
 def _decode_any(payload: bytes) -> np.ndarray:
-    """PNG/PPM/GIF -> real pixels (functions/png.py + functions/gif.py,
-    GetImage parity); anything else -> the deterministic stub. Returns
-    float32 greyscale in [0,1]."""
+    """PNG/PPM/GIF/baseline-JPEG -> real pixels (functions/png.py, gif.py,
+    jpeg.py — the GetImage format set); unrecognized or undecodable
+    payloads (corrupt files, progressive JPEG) -> the deterministic stub,
+    so one bad image degrades to a placeholder instead of failing the
+    whole ingest task. Returns float32 greyscale in [0,1]."""
     from go_tfdata_spark.functions.png import decode_image, sniff_format
 
-    if sniff_format(payload) in ("png", "ppm", "gif"):
-        img = decode_image(payload).astype(np.float32) / 255.0
+    if sniff_format(payload) in ("png", "ppm", "gif", "jpeg"):
+        try:
+            img = decode_image(payload).astype(np.float32) / 255.0
+        except ValueError:
+            return _fake_decode(payload)
         if img.ndim == 3:  # luminance fold, BT.601-ish
             if img.shape[2] == 2:  # grey+alpha: luminance is channel 0 alone
                 img = img[..., 0]

@@ -224,8 +224,9 @@ def encode_ppm(img: np.ndarray) -> bytes:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Decode PNG, PPM, or GIF by magic; raises on unsupported formats
-    (JPEG — the last GetImage format — needs a DCT/Huffman codec)."""
+    """Decode PNG, PPM, GIF, or baseline JPEG by magic — the full GetImage
+    format set (example.go:137-146); raises on unrecognized payloads and
+    on JPEG modes outside baseline (progressive/arithmetic)."""
     fmt = sniff_format(payload)
     if fmt == "png":
         return decode_png(payload)
@@ -235,4 +236,8 @@ def decode_image(payload: bytes) -> np.ndarray:
         from go_tfdata_spark.functions.gif import decode_gif
 
         return decode_gif(payload)
+    if fmt == "jpeg":
+        from go_tfdata_spark.functions.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise ValueError(f"unsupported or unrecognized image format: {fmt!r}")

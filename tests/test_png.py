@@ -92,7 +92,8 @@ def test_sniff_and_decode_dispatch():
     assert sniff_format(b"GIF89ajunk") == "gif"
     assert sniff_format(b"plain text") is None
     np.testing.assert_array_equal(decode_image(encode_png(img)), img)
-    with pytest.raises(ValueError, match="jpeg"):
+    # jpeg now routes to the real baseline decoder; garbage still raises
+    with pytest.raises(ValueError, match="JPEG"):
         decode_image(b"\xff\xd8\xff\xe0junk")
 
 
