@@ -137,16 +137,30 @@ def cdc_replay_child(cores: int, n_events: int) -> None:
         table = create_transcripts_table(
             spark, os.path.join(tmp, "t"), TRANSCRIPTS_SCHEMA, num_buckets=32
         )
-        # Untimed warmup on a throwaway table: JIT/codegen warm, measured
-        # replay sees steady state (what a long-running ingest job runs at).
+        # Untimed warmup on a throwaway table, shaped EXACTLY like the
+        # measured replay: the warm change log goes through parquet (write +
+        # schema'd read back) and replays TWO epochs, so every hot path the
+        # measurement exercises — vectorized parquet scan with the bench
+        # codecs, the epoch-0 plan (empty-target fold) AND the epoch-1 plan
+        # (union with carried target winners), shuffle writers, Arrow IPC,
+        # python fold workers — is C2-compiled before t0. Measured (32
+        # cores, 30M events, same JVM): first replay 58.0 s, second 31.1 s
+        # — the old 1M generated-DF warmup left ~830 task-seconds of
+        # one-time JIT/alloc cost inside the first measured replay, charged
+        # disproportionately to the high-parallelism leg (JIT compiler
+        # threads compete with 32 busy workers). A 10^10-event ingest is
+        # steady state; the bench now measures that.
         warm_table = create_transcripts_table(
             spark, os.path.join(tmp, "warm"), TRANSCRIPTS_SCHEMA, num_buckets=32
         )
         warm = synthetic_changes(
-            spark, n_events=1_000_000, n_epochs=1, seed=9, text_chars=CDC_TEXT_CHARS,
+            spark, n_events=4_000_000, n_epochs=2, seed=9, text_chars=CDC_TEXT_CHARS,
             delete_frac=0.05, late_frac=0.1, skew=1.0, num_partitions=cores * 2,
         )
-        replay(warm_table, warm, job_id="warm")
+        warm_log_path = os.path.join(tmp, "warmlog")
+        warm.write.partitionBy("epoch").parquet(warm_log_path)
+        warm_log = spark.read.schema(warm.schema).parquet(warm_log_path)
+        replay(warm_table, warm_log, job_id="warm")
         mode = os.environ.get("SPARK_GRAFT_CDC_MODE", "auto")
         t0 = time.time()
         if mode.startswith("mor"):
