@@ -38,6 +38,7 @@ from go_tfdata_spark.operators.dedup import (  # noqa: E402
     simhash,
 )
 from go_tfdata_spark.operators.lww import lww_latest, lww_latest_window  # noqa: E402
+from go_tfdata_spark.operators.sampling import _hex_threshold  # noqa: E402
 from go_tfdata_spark.operators.select import by_key, by_suffix, select_union  # noqa: E402
 from go_tfdata_spark.operators.similarity import brute_force_topk  # noqa: E402
 from go_tfdata_spark.operators.transform import rename_last_wins  # noqa: E402
@@ -546,6 +547,99 @@ def _q_lineage_metrics(spark, sf):
     )
 
 
+def _q_stratified_sample(spark, sf):
+    """Deterministic per-stratum sampling (training-data op): ~20% of each
+    language's documents by md5 threshold — reproducible across runs,
+    retries, and engines (the oracle restates the identical hash cut)."""
+    from go_tfdata_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf, "documents")
+    return stratified_sample(docs, ["lang"], "doc_id", 0.2, seed=7).select(
+        "doc_id", "lang"
+    )
+
+
+def _q_split_assign(spark, sf):
+    """Leak-proof train/val/test split: the GROUP key (user) is hashed, so
+    every event of one user lands in one split. Verified via per-split
+    event and group counts (the oracle restates the same thresholds)."""
+    from go_tfdata_spark.operators.sampling import split_assign
+
+    ev = _t(spark, sf, "events")
+    out = split_assign(ev, "user_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=7)
+    return out.groupBy("split").agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct("user_id").alias("n_groups"),
+    )
+
+
+_GIF_RT_N = 12
+
+
+def _gif_rt_images():
+    """Deterministic greyscale images for the GIF round-trip query."""
+    import numpy as np
+
+    out = []
+    for i in range(_GIF_RT_N):
+        rng = np.random.RandomState(100 + i)
+        out.append(rng.randint(0, 256, size=(9 + i, 12 + i), dtype=np.uint8))
+    return out
+
+
+def _q_gif_roundtrip(spark, sf):
+    """GetImage GIF parity end-to-end: deterministic greyscale arrays ->
+    encode_gif -> Arrow featurize stage (sniff -> real LZW decode ->
+    luminance -> 8x8 grid). The oracle restates width/height/payload-size
+    and the first grid feature FROM THE PRE-CODEC ARRAYS (the codec never
+    runs on the oracle side) — equality proves the encode->decode
+    round-trip is pixel-lossless through the distributed plumbing."""
+    from go_tfdata_spark.functions.gif import encode_gif
+    from go_tfdata_spark.functions.multimodal import decode_and_featurize
+
+    rows = [
+        (i, "image", bytearray(encode_gif(img)), None)
+        for i, img in enumerate(_gif_rt_images())
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, meta map<string,string>"
+    )
+    out = decode_and_featurize(media)
+    return out.select(
+        "media_id", "width", "height", "n_bytes",
+        F.round(F.element_at("feature", 1).cast("double"), 4).alias("f0"),
+    )
+
+
+def _gif_roundtrip_sql() -> str:
+    """Literal expected table computed from the raw arrays (no codec)."""
+    import numpy as np
+
+    from go_tfdata_spark.functions.gif import encode_gif
+
+    vals = []
+    for i, img in enumerate(_gif_rt_images()):
+        n_bytes = len(encode_gif(img))
+        # replicate the featurize float32 math from the raw array: decoded
+        # GIF is (H,W,3) with equal channels -> BT.601 luminance fold
+        rgb = np.repeat(img[:, :, None], 3, axis=2).astype(np.float32) / 255.0
+        w = np.array([0.299, 0.587, 0.114], dtype=np.float32)
+        lum = rgb @ (w / max(w.sum(), 1e-6))
+        h, wd = lum.shape
+        ys = (np.arange(8) * h // 8).clip(0, h - 1)
+        xs = (np.arange(8) * wd // 8).clip(0, wd - 1)
+        grid = lum[np.ix_(ys, xs)]
+        # identical numpy call chain as the featurize stage (float32
+        # accumulation) so the restated value is bit-exact pre-round
+        f0 = round(float(grid.mean(axis=0)[0]), 4)
+        vals.append(f"({i}, {img.shape[1]}, {img.shape[0]}, {n_bytes}, {f0})")
+    return (
+        "SELECT media_id::BIGINT AS media_id, width::INT AS width, "
+        "height::INT AS height, n_bytes::BIGINT AS n_bytes, f0::DOUBLE AS f0 "
+        f"FROM (VALUES {', '.join(vals)}) AS t(media_id, width, height, n_bytes, f0)"
+    )
+
+
 def _q_props_sum(spark, sf):
     """JSON-ish payload extraction (from_json analog of the reference's JSON
     marshal fallback) aggregated per user."""
@@ -728,6 +822,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "embedding_near_dups": _q_embedding_near_dups,
         "lineage_metrics": _q_lineage_metrics,
+        "stratified_sample": _q_stratified_sample,
+        "split_assign": _q_split_assign,
+        "gif_roundtrip": _q_gif_roundtrip,
         "props_sum": _q_props_sum,
         "json_payload": _q_json_payload,
         "events_per_day": _q_events_per_day,
@@ -1008,6 +1105,23 @@ def oracle_sql() -> dict[str, str]:
                  o.wm_us
           FROM offs o LEFT JOIN cnt c USING (epoch, src_part)
         """,
+        # stratified_sample / split_assign: the md5-threshold cut restated
+        # literally — lowercase-hex string comparison is engine-identical.
+        "stratified_sample": f"""
+          SELECT doc_id, lang FROM documents
+          WHERE md5('s7:' || lang || ':' || doc_id::VARCHAR) < '{_hex_threshold(0.2)}'
+        """,
+        "split_assign": f"""
+          SELECT split, count(*) AS n_events, count(DISTINCT user_id) AS n_groups
+          FROM (
+            SELECT user_id,
+                   CASE WHEN md5('s7:' || user_id::VARCHAR) < '{_hex_threshold(0.8)}' THEN 'train'
+                        WHEN md5('s7:' || user_id::VARCHAR) < '{_hex_threshold(0.9)}' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM events)
+          GROUP BY split
+        """,
+        "gif_roundtrip": _gif_roundtrip_sql(),
         "props_sum": """
           SELECT user_id, sum(regexp_extract(props, '[0-9]+', 0)::BIGINT)::BIGINT AS props_sum
           FROM events GROUP BY user_id

@@ -231,3 +231,37 @@ def test_cast_decodes_reference_byte_payloads(spark):
     assert r.f == 2.5
     assert r.il == [7, -8, 9]
     assert r.fl == [1.5, -0.25]
+
+
+def test_deterministic_sampling_and_splits(spark):
+    from go_tfdata_spark.operators.sampling import (
+        deterministic_sample,
+        split_assign,
+        stratified_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 3 else "de") for i in range(600)], "id long, lang string"
+    )
+    s1 = {r["id"] for r in deterministic_sample(df, "id", 0.3, seed=5).collect()}
+    s2 = {r["id"] for r in deterministic_sample(df, "id", 0.3, seed=5).collect()}
+    assert s1 == s2 and 0.15 < len(s1) / 600 < 0.45  # stable + near fraction
+    # monotone: a smaller fraction is a SUBSET of a larger one (same seed)
+    s_small = {r["id"] for r in deterministic_sample(df, "id", 0.1, seed=5).collect()}
+    assert s_small <= s1
+    # stratified: each stratum sampled independently near the fraction
+    st = stratified_sample(df, ["lang"], "id", 0.25, seed=5)
+    by_lang = {r["lang"]: r["n"] for r in st.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert 0.1 < by_lang.get("en", 0) / 400 < 0.45
+    # split_assign: every group lands in exactly one split; weights validated
+    ev = spark.createDataFrame(
+        [(i % 50, i) for i in range(1000)], "user long, x long"
+    )
+    out = split_assign(ev, "user", {"train": 0.8, "val": 0.1, "test": 0.1})
+    per_user = out.groupBy("user").agg(F.count_distinct("split").alias("k")).collect()
+    assert all(r["k"] == 1 for r in per_user)
+    assert out.select("split").distinct().count() >= 2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sum to 1"):
+        split_assign(ev, "user", {"a": 0.5, "b": 0.2})
