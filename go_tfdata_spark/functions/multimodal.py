@@ -2,13 +2,16 @@
 
 The reference ships real image codecs on its typed rows (AddImage PNG
 encode, GetImage JPEG/PNG/GIF decode — tfdata/core/example.go:131-146).
-PNG and PPM are decoded/encoded FOR REAL here by the dependency-free codec
-in functions/png.py (stdlib zlib + numpy) — AddImage/GetImage PNG parity
-without any imaging library. JPEG/GIF (and audio/video codecs) are not
-carried in this container; payloads in those formats route to the
-deterministic stub so the Spark-side plumbing — schema, Arrow batch shape,
-mapInPandas partitioning — stays exercised end-to-end, and swapping the
-stub for PIL/torchaudio changes one function body, not the pipeline.
+The full GetImage format set is decoded FOR REAL here by dependency-free
+codecs: PNG/PPM (functions/png.py — stdlib zlib + numpy, all five filters),
+GIF (functions/gif.py — LZW both directions, interlace, transparency) and
+baseline JPEG (functions/jpeg.py — T.81, restart markers, arbitrary
+chroma subsampling, vectorized IDCT). The deterministic stub is
+the FALLBACK only — corrupt/truncated payloads and formats outside the set
+(audio/video codecs) degrade to it instead of failing the ingest task, so
+the Spark-side plumbing — schema, Arrow batch shape, mapInPandas
+partitioning — always completes, and swapping the stub for PIL/torchaudio
+changes one function body, not the pipeline.
 """
 
 from __future__ import annotations
@@ -62,7 +65,11 @@ def _decode_any(payload: bytes) -> np.ndarray:
     if sniff_format(payload) in ("png", "ppm", "gif", "jpeg"):
         try:
             img = decode_image(payload).astype(np.float32) / 255.0
-        except ValueError:
+        except Exception:
+            # any malformed payload (truncated header -> struct.error,
+            # bad LZW/Huffman stream -> IndexError/KeyError/StopIteration,
+            # zlib.error, ValueError from the decoders' own validation)
+            # degrades to the stub — one bad image must never fail the task
             return _fake_decode(payload)
         if img.ndim == 3:  # luminance fold, BT.601-ish
             if img.shape[2] == 2:  # grey+alpha: luminance is channel 0 alone

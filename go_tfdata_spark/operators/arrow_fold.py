@@ -38,8 +38,17 @@ better 8->32 scaling.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Incremental-fold squash floor (rows buffered before a concat+sort+dedup
+# pass). 512k keeps typical write-layout partitions to ONE final sort
+# (measured: repeated interim squashes cost ~2x the fold CPU at 32
+# threads) while bounding memory at O(max(floor, winners)) rows for
+# pathological partitions. Env knob for A/B runs (round 3 used 64k).
+_SQUASH_FLOOR = int(os.environ.get("SPARK_GRAFT_SQUASH_FLOOR", "512000"))
 
 
 def _winner_table(tbl, key_cols: list[str], sort_cols: list[str]):
@@ -178,7 +187,7 @@ def aligned_lww_fold(
             t = t_full.select(cols)
             buf.append(t)
             buf_rows += len(t)
-            if buf_rows >= max(512_000, 0 if winners is None else len(winners)):
+            if buf_rows >= max(_SQUASH_FLOOR, 0 if winners is None else len(winners)):
                 squash()
         squash()
         count_src = None

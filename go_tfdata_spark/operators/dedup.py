@@ -68,14 +68,18 @@ _SIZE_SUFFIX = {
     "m": 1 << 20, "mb": 1 << 20,
     "g": 1 << 30, "gb": 1 << 30,
     "t": 1 << 40, "tb": 1 << 40,
+    "p": 1 << 50, "pb": 1 << 50,
 }
 
 
 def _parse_bytes(value: str) -> int:
     """Spark byte-size string ('134217728', '128m', '64MB') -> bytes."""
     s = str(value).strip().lower()
-    num = s.rstrip("kmgtb")
-    return int(num) * _SIZE_SUFFIX[s[len(num):]]
+    num = s.rstrip("kmgtpb")
+    suffix = s[len(num):]
+    if suffix not in _SIZE_SUFFIX:
+        raise ValueError(f"unknown byte-size suffix {suffix!r} in {value!r}")
+    return int(num) * _SIZE_SUFFIX[suffix]
 
 
 def _ensure_parallelism(df: DataFrame, *cols: str) -> DataFrame:

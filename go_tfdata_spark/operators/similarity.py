@@ -19,10 +19,32 @@ ncells).
 
 from __future__ import annotations
 
+import threading as _threading
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from go_tfdata_spark.functions.vectors import cosine_similarity
+
+# Bounded registry of live cached assignments (path=None indexes): building
+# many throwaway indexes in one session (contract runs, benches) must not
+# accumulate unbounded columnar cache — oldest entries are unpersisted.
+_LIVE_CACHE_MAX = 4
+_LIVE_CACHES: list = []
+_CACHE_LOCK = _threading.Lock()
+
+
+def _register_cache(df: DataFrame) -> None:
+    evicted = []
+    with _CACHE_LOCK:
+        _LIVE_CACHES.append(df)
+        while len(_LIVE_CACHES) > _LIVE_CACHE_MAX:
+            evicted.append(_LIVE_CACHES.pop(0))
+    for old in evicted:
+        try:
+            old.unpersist()
+        except Exception:
+            pass
 
 
 def _qvec(query: list[float]):
@@ -48,7 +70,21 @@ class IVFIndex:
     count(). Rows are assigned to their nearest centroid by cosine
     (ties -> largest cell id, matching `greatest(struct(cos, cell))`)."""
 
-    def __init__(self, df: DataFrame, vec_col: str, id_col: str, ncells: int = 16):
+    def __init__(self, df: DataFrame, vec_col: str, id_col: str, ncells: int = 16,
+                 path: str | None = None):
+        """Build the index. An index is queried many times, so the cell
+        assignment (full scan + matmul) must run ONCE at build time, not
+        once per `topk` call:
+
+        - `path` given (the 100 TB deployment shape): the assigned table is
+          WRITTEN to parquet partitioned by `_cell`; queries read it back
+          and `_cell` predicates become partition pruning — a `topk` scans
+          only nprobe/ncells of the files and runs no assignment stage.
+        - `path=None` (exploratory/test): the assigned DataFrame is kept in
+          Spark's columnar cache (compressed column batches — not the
+          deserialized-row caching whose ~10x overhead rules out persisting
+          wide text rows) and computed on first use.
+        """
         self.vec_col, self.id_col, self.ncells = vec_col, id_col, ncells
         cents = (
             df.select(F.col(id_col).alias("cell"), F.col(vec_col).alias("cvec"))
@@ -56,7 +92,33 @@ class IVFIndex:
             .limit(ncells)
         )
         self.centroids = [(r["cell"], list(r["cvec"])) for r in cents.collect()]
-        self.assigned = self._assign(df)
+        assigned = self._assign(df)
+        self.path = path
+        self._cached = None
+        if path is not None:
+            spark = df.sparkSession
+            # one shuffle onto the cell layout so each cell gets one file,
+            # not one file per input task x cell (bounded small-file count)
+            (
+                assigned.repartition(min(ncells, 256), F.col("_cell"))
+                .write.mode("overwrite").partitionBy("_cell").parquet(path)
+            )
+            rd = spark.read.option("basePath", path).parquet(path)
+            # partition-dir inference can narrow types (long -> int); cast
+            # back to the build schema and restore column order
+            self.assigned = rd.select(
+                *[F.col(f.name).cast(f.dataType) for f in assigned.schema.fields]
+            )
+        else:
+            self._cached = assigned.persist()
+            _register_cache(self._cached)
+            self.assigned = self._cached
+
+    def close(self) -> None:
+        """Release the columnar cache (no-op for a materialized index)."""
+        if self._cached is not None:
+            self._cached.unpersist()
+            self._cached = None
 
     def _assign(self, df: DataFrame) -> DataFrame:
         import numpy as np

@@ -37,8 +37,11 @@ def get_spark(
         # (default 10k). Fewer JVM<->Python round trips and fewer chunk
         # boundaries in the fold kernels; measured 1.4x on the 32-thread
         # CDC replay leg (the per-batch handoff cost is contended at high
-        # parallelism), neutral at low parallelism.
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # parallelism), neutral at low parallelism. Env knob for A/B runs.
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_BATCH", "65536"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

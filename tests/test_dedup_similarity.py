@@ -178,6 +178,42 @@ def test_ivf_vectorized_assignment_many_cells(spark):
     assert approx == exact
 
 
+def test_ivf_materialized_index_no_reassignment(spark, tmp_path):
+    """An index queried k times must not pay k assignment passes: with a
+    build `path` the assignment is WRITTEN partitioned by `_cell`, and every
+    `topk` plan is a pruned parquet scan — no MapInArrow stage, and only
+    nprobe/ncells of the partition dirs survive pruning."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(300, 8)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(300)],
+        "vec_id long, v array<double>",
+    )
+    q = [float(x) for x in vecs[42]]
+    lazy = IVFIndex(df, "v", "vec_id", ncells=8)
+    mat = IVFIndex(df, "v", "vec_id", ncells=8, path=str(tmp_path / "ivf"))
+    # identical results, lazy vs materialized, partial and full probe
+    for nprobe in (2, 8):
+        a = [r["vec_id"] for r in lazy.topk(q, k=5, nprobe=nprobe).collect()]
+        b = [r["vec_id"] for r in mat.topk(q, k=5, nprobe=nprobe).collect()]
+        assert a == b
+    plan = mat.topk(q, k=5, nprobe=2)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" not in plan  # no re-assignment on query
+    # partition pruning: a cell predicate reaches the scan as a partition
+    # filter (not a post-scan Filter), so only the probed cells' dirs are
+    # read — the nprobe/ncells scan reduction the index exists for
+    import re
+
+    two_cells = [c for c, _ in mat.centroids[:2]]
+    pruned = mat.assigned.filter(F.col("_cell").isin(two_cells))
+    pplan = pruned._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", pplan)
+    assert m and "_cell" in m.group(1) and "IN" in m.group(1)
+    lazy.close()
+
+
 def test_text_functions_edgecases(spark):
     df = spark.createDataFrame([(1, ""), (2, "   "), (3, "one"), (4, "a  b\tc")],
                                "id long, text string")
