@@ -7,6 +7,10 @@ functions/gif.py). Implemented from the public ITU-T T.81 specification:
 - baseline sequential DCT (SOF0), 8-bit samples, Huffman entropy coding,
   restart markers, interleaved single-scan streams (what every camera /
   ImageIO / libjpeg default-writes);
+- progressive DCT (SOF2, T.81 annex G): spectral selection + successive
+  approximation, multi-scan coefficient accumulation with EOB runs,
+  interleaved DC scans and non-interleaved AC/refinement scans, restart
+  markers per scan — the form web encoders emit for crawl-scale images;
 - grayscale (1 component) and YCbCr (3 components) with arbitrary h/v
   chroma subsampling factors (4:4:4, 4:2:2, 4:2:0, ...), nearest-neighbor
   chroma upsampling, JFIF YCbCr -> RGB;
@@ -14,9 +18,8 @@ functions/gif.py). Implemented from the public ITU-T T.81 specification:
   product per block (T.81 permits implementation-defined IDCT precision;
   tests bound the difference against the JVM's javax.imageio decoder).
 
-Progressive (SOF2) and arithmetic-coded streams raise ValueError — the
-deterministic stub handles them upstream, exactly as it did for all JPEG
-before this decoder existed.
+Arithmetic-coded and hierarchical streams raise ValueError — the
+deterministic stub handles them upstream.
 
 Entropy decoding is pure Python (a table-driven state machine per
 coefficient); the dequantize/IDCT/upsample/color stages are vectorized
@@ -138,7 +141,7 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JPEG -> uint8 (H, W) grey or (H, W, 3) RGB."""
+    """Baseline or progressive JPEG -> uint8 (H, W) grey or (H, W, 3) RGB."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (bad SOI)")
     qt: dict[int, np.ndarray] = {}
@@ -146,6 +149,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff_ac: dict[int, _HuffTable] = {}
     restart_interval = 0
     frame = None  # (h, w, components)
+    geom = None  # (hmax, vmax, mcux, mcuy) once storage is initialized
+    progressive = False
+    scanned = False
     pos = 2
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
@@ -180,55 +186,88 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = bytes(body[i + 17 : i + 17 + n])
                 (huff_ac if tc else huff_dc)[th] = _HuffTable(bits, vals)
                 i += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline(-ext) Huffman
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            progressive = marker == 0xC2
             _prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             comps = []
             for c in range(nc):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError(f"unsupported JPEG mode (SOF{marker - 0xC0}): baseline only")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported JPEG mode (SOF{marker - 0xC0}): baseline/progressive only"
+            )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS: entropy-coded data follows
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
+            h, w, comps = frame
+            if geom is None:
+                geom = _init_storage(h, w, comps)
             ns = body[0]
             scan = []
             for c in range(ns):
                 cs, tdta = body[1 + 2 * c], body[2 + 2 * c]
-                comp = next(x for x in frame[2] if x["id"] == cs)
-                scan.append({**comp, "dc": tdta >> 4, "ac": tdta & 0x0F})
-            return _decode_scan(
-                payload, pos + 2 + seglen, frame[0], frame[1], scan,
-                qt, huff_dc, huff_ac, restart_interval,
+                comp = next(x for x in comps if x["id"] == cs)
+                scan.append({"comp": comp, "dc": tdta >> 4, "ac": tdta & 0x0F})
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
+            if progressive:
+                pos = _progressive_scan(
+                    payload, pos + 2 + seglen, geom, scan, ss, se, ah, al,
+                    huff_dc, huff_ac, restart_interval,
+                )
+                scanned = True
+                continue
+            _baseline_scan(
+                payload, pos + 2 + seglen, geom, scan, huff_dc, huff_ac,
+                restart_interval,
             )
+            scanned = True
+            break  # baseline is single-scan by construction
         pos += 2 + seglen
-    raise ValueError("JPEG contains no scan data")
+    if not scanned or frame is None:
+        raise ValueError("JPEG contains no scan data")
+    return _finish(frame, geom, qt)
 
 
-def _decode_scan(data, pos, h, w, comps, qt, huff_dc, huff_ac, restart_interval):
+def _init_storage(h, w, comps):
+    """Per-component coefficient stores (one 64-vector per 8x8 block, in
+    zigzag order) sized to the MCU-padded grid; also the non-interleaved
+    scan dims (T.81 A.2.2: ceil of the component's own sample dims)."""
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-    # per component: coefficient store, one 64-vector per 8x8 block
     for c in comps:
-        c["bw"] = mcux * c["h"]  # blocks across
+        c["bw"] = mcux * c["h"]  # blocks across (storage stride)
         c["bh"] = mcuy * c["v"]
         c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32)
         c["pred"] = 0
+        cx = -(-(w * c["h"]) // hmax)  # component sample dims
+        cy = -(-(h * c["v"]) // vmax)
+        c["bw_n"] = -(-cx // 8)  # non-interleaved block dims
+        c["bh_n"] = -(-cy // 8)
+    return hmax, vmax, mcux, mcuy
+
+
+def _baseline_scan(data, pos, geom, scan, huff_dc, huff_ac, restart_interval):
+    """Sequential DCT scan: every block's full DC+AC in one interleaved pass."""
+    _hmax, _vmax, mcux, mcuy = geom
     br = _BitReader(data, pos)
-    n_mcu = mcux * mcuy
-    for m in range(n_mcu):
+    for sc in scan:
+        sc["comp"]["pred"] = 0
+    for m in range(mcux * mcuy):
         if restart_interval and m and m % restart_interval == 0:
             br.reset_at_restart()
-            for c in comps:
-                c["pred"] = 0
+            for sc in scan:
+                sc["comp"]["pred"] = 0
         my, mx = divmod(m, mcux)
-        for c in comps:
-            dct, act = huff_dc[c["dc"]], huff_ac[c["ac"]]
+        for sc in scan:
+            c = sc["comp"]
+            dct, act = huff_dc[sc["dc"]], huff_ac[sc["ac"]]
             for by in range(c["v"]):
                 for bx in range(c["h"]):
                     blk = np.zeros(64, dtype=np.int32)
@@ -252,7 +291,151 @@ def _decode_scan(data, pos, h, w, comps, qt, huff_dc, huff_ac, restart_interval)
                         k += 1
                     row = (my * c["v"] + by) * c["bw"] + (mx * c["h"] + bx)
                     c["coef"][row] = blk
-    # vectorized: dequantize -> de-zigzag -> IDCT for ALL blocks per component
+
+
+def _progressive_scan(data, pos, geom, scan, ss, se, ah, al,
+                      huff_dc, huff_ac, restart_interval) -> int:
+    """One progressive scan (T.81 annex G): DC scans may be interleaved;
+    AC scans are single-component over the component's OWN block grid.
+    Coefficients accumulate across scans (spectral selection bands x
+    successive-approximation bit planes). Returns the offset of the next
+    marker after the scan's entropy data."""
+    _hmax, _vmax, mcux, mcuy = geom
+    if ss == 0 and se != 0:
+        raise ValueError("corrupt JPEG: progressive scan mixes DC and AC")
+    if ss != 0 and len(scan) != 1:
+        raise ValueError("corrupt JPEG: interleaved progressive AC scan")
+    br = _BitReader(data, pos)
+    eobrun = 0
+    for sc in scan:
+        sc["comp"]["pred"] = 0
+    if len(scan) > 1:  # interleaved DC scan
+        for m in range(mcux * mcuy):
+            if restart_interval and m and m % restart_interval == 0:
+                br.reset_at_restart()
+                eobrun = 0
+                for sc in scan:
+                    sc["comp"]["pred"] = 0
+            my, mx = divmod(m, mcux)
+            for sc in scan:
+                c = sc["comp"]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        row = (my * c["v"] + by) * c["bw"] + (mx * c["h"] + bx)
+                        _prog_dc(br, c, sc, row, ah, al, huff_dc)
+    else:
+        sc = scan[0]
+        c = sc["comp"]
+        for m in range(c["bw_n"] * c["bh_n"]):
+            if restart_interval and m and m % restart_interval == 0:
+                br.reset_at_restart()
+                eobrun = 0
+                c["pred"] = 0
+            by, bx = divmod(m, c["bw_n"])
+            row = by * c["bw"] + bx
+            if ss == 0:
+                _prog_dc(br, c, sc, row, ah, al, huff_dc)
+            else:
+                blk = c["coef"][row]
+                act = huff_ac[sc["ac"]]
+                if ah == 0:
+                    eobrun = _prog_ac_first(br, blk, act, ss, se, al, eobrun)
+                else:
+                    eobrun = _prog_ac_refine(br, blk, act, ss, se, al, eobrun)
+    # entropy data ends at the next non-RST marker; resume parsing there
+    p = br.pos
+    while p + 1 < len(data):
+        if data[p] == 0xFF and data[p + 1] != 0x00 and not (0xD0 <= data[p + 1] <= 0xD7):
+            break
+        p += 1
+    return p
+
+
+def _prog_dc(br, c, sc, row, ah, al, huff_dc):
+    blk = c["coef"][row]
+    if ah == 0:  # first DC scan: diff-coded in the 2^Al-divided domain
+        t = br.decode_huff(huff_dc[sc["dc"]])
+        c["pred"] += _extend(br.read_bits(t), t)
+        blk[0] = c["pred"] << al
+    elif br.read_bit():  # refinement: one correction bit per block
+        blk[0] |= 1 << al
+
+
+def _prog_ac_first(br, blk, act, ss, se, al, eobrun) -> int:
+    """First scan of an AC band (Ah=0): baseline-style run/size coding plus
+    EOB runs spanning (1<<r)+bits blocks; values enter at magnitude << Al."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = br.decode_huff(act)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r != 15:
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.read_bits(r)
+                break
+            k += 16  # ZRL
+        else:
+            k += r
+            if k > se:
+                raise ValueError("corrupt JPEG: AC index overflow")
+            blk[k] = _extend(br.read_bits(s), s) << al
+            k += 1
+    return eobrun
+
+
+def _prog_ac_refine(br, blk, act, ss, se, al, eobrun) -> int:
+    """AC refinement scan (Ah=Al+1): every already-nonzero coefficient in
+    the band reads one correction bit as it is passed; zero-history
+    positions count toward the run, and new +-(1<<Al) coefficients are
+    inserted where the run ends (T.81 G.1.2.3 / the jdphuff algorithm)."""
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = br.decode_huff(act)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.read_bits(r)
+                    break
+                # r == 15: pass 16 zero-history coefficients
+            else:
+                val = p1 if br.read_bit() else m1
+            while k <= se:
+                coef = blk[k]
+                if coef != 0:
+                    if br.read_bit() and (coef & p1) == 0:
+                        blk[k] = coef + (p1 if coef >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # EOB run still corrects nonzero history in the band
+            coef = blk[k]
+            if coef != 0:
+                if br.read_bit() and (coef & p1) == 0:
+                    blk[k] = coef + (p1 if coef >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _finish(frame, geom, qt):
+    """Dequantize -> de-zigzag -> IDCT for ALL blocks per component
+    (vectorized numpy), then upsample chroma and convert color."""
+    h, w, comps = frame
+    hmax, vmax, _mcux, _mcuy = geom
     planes = []
     for c in comps:
         deq = c["coef"] * qt[c["tq"]][None, :]

@@ -5,8 +5,8 @@ encode, GetImage JPEG/PNG/GIF decode — tfdata/core/example.go:131-146).
 The full GetImage format set is decoded FOR REAL here by dependency-free
 codecs: PNG/PPM (functions/png.py — stdlib zlib + numpy, all five filters),
 GIF (functions/gif.py — LZW both directions, interlace, transparency) and
-baseline JPEG (functions/jpeg.py — T.81, restart markers, arbitrary
-chroma subsampling, vectorized IDCT). The deterministic stub is
+JPEG (functions/jpeg.py — T.81 baseline and progressive, restart markers,
+arbitrary chroma subsampling, vectorized IDCT). The deterministic stub is
 the FALLBACK only — corrupt/truncated payloads and formats outside the set
 (audio/video codecs) degrade to it instead of failing the ingest task, so
 the Spark-side plumbing — schema, Arrow batch shape, mapInPandas
@@ -55,11 +55,12 @@ def _fake_decode(payload: bytes) -> np.ndarray:
 
 
 def _decode_any(payload: bytes) -> np.ndarray:
-    """PNG/PPM/GIF/baseline-JPEG -> real pixels (functions/png.py, gif.py,
-    jpeg.py — the GetImage format set); unrecognized or undecodable
-    payloads (corrupt files, progressive JPEG) -> the deterministic stub,
-    so one bad image degrades to a placeholder instead of failing the
-    whole ingest task. Returns float32 greyscale in [0,1]."""
+    """PNG/PPM/GIF/JPEG (baseline + progressive) -> real pixels
+    (functions/png.py, gif.py, jpeg.py — the GetImage format set);
+    unrecognized or undecodable payloads (corrupt files, arithmetic-coded
+    JPEG) -> the deterministic stub, so one bad image degrades to a
+    placeholder instead of failing the whole ingest task. Returns float32
+    greyscale in [0,1]."""
     from go_tfdata_spark.functions.png import decode_image, sniff_format
 
     if sniff_format(payload) in ("png", "ppm", "gif", "jpeg"):

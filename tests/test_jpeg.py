@@ -1,5 +1,6 @@
-"""Dependency-free baseline JPEG decoder (functions/jpeg.py) — the last
-format of the reference's GetImage surface (core/example.go:137-146).
+"""Dependency-free JPEG decoder (functions/jpeg.py, baseline + progressive)
+— the last format of the reference's GetImage surface
+(core/example.go:137-146).
 
 JPEG is lossy and T.81 leaves IDCT precision implementation-defined, so
 the ground truth here is the JVM's javax.imageio decoder (an independent
@@ -17,7 +18,8 @@ from go_tfdata_spark.functions.jpeg import decode_jpeg
 from go_tfdata_spark.functions.png import sniff_format
 
 
-def _jvm_encode_jpeg(jvm, img: np.ndarray, grey: bool = False, quality: float | None = None) -> bytes:
+def _jvm_encode_jpeg(jvm, img: np.ndarray, grey: bool = False, quality: float | None = None,
+                     progressive: bool = False) -> bytes:
     h, w = img.shape[:2]
     bi = jvm.java.awt.image.BufferedImage(w, h, 10 if grey else 1)  # BYTE_GRAY / INT_RGB
     for y in range(h):
@@ -30,13 +32,16 @@ def _jvm_encode_jpeg(jvm, img: np.ndarray, grey: bool = False, quality: float | 
                 rgb = (r << 16) | (g << 8) | b
             bi.setRGB(x, y, rgb - (1 << 32) if rgb >= (1 << 31) else rgb)
     baos = jvm.java.io.ByteArrayOutputStream()
-    if quality is None:
+    if quality is None and not progressive:
         assert jvm.javax.imageio.ImageIO.write(bi, "jpg", baos)
     else:
         writer = jvm.javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
         params = writer.getDefaultWriteParam()
-        params.setCompressionMode(2)  # MODE_EXPLICIT
-        params.setCompressionQuality(float(quality))
+        if quality is not None:
+            params.setCompressionMode(2)  # MODE_EXPLICIT
+            params.setCompressionQuality(float(quality))
+        if progressive:
+            params.setProgressiveMode(1)  # MODE_DEFAULT: writer's scan script
         ios = jvm.javax.imageio.ImageIO.createImageOutputStream(baos)
         writer.setOutput(ios)
         writer.write(None, jvm.javax.imageio.IIOImage(bi, None, None), params)
@@ -127,15 +132,53 @@ def test_jpeg_restart_markers(spark):
     assert np.abs(ours.astype(np.int16) - theirs).max() <= 2
 
 
-def test_jpeg_rejects_garbage_and_progressive():
+def test_jpeg_rejects_garbage_and_arithmetic():
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"not a jpeg at all")
     with pytest.raises(ValueError, match="JPEG"):
         decode_jpeg(b"\xff\xd8\xff\xe0junkjunkjunk")
-    # hand-built SOF2 (progressive) header must be refused, not mis-decoded
+    # SOF2 with no scan data: parsed (progressive is supported) but empty
     sof2 = b"\xff\xd8" + b"\xff\xc2" + bytes([0, 11, 8, 0, 8, 0, 8, 1, 1, 0x11, 0]) + b"\xff\xd9"
-    with pytest.raises(ValueError, match="baseline"):
+    with pytest.raises(ValueError, match="no scan data"):
         decode_jpeg(sof2)
+    # arithmetic-coded (SOF9) stays refused, not mis-decoded
+    sof9 = b"\xff\xd8" + b"\xff\xc9" + bytes([0, 11, 8, 0, 8, 0, 8, 1, 1, 0x11, 0]) + b"\xff\xd9"
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_jpeg(sof9)
+
+
+def test_jpeg_progressive_grey_matches_jvm_decoder(spark):
+    """SOF2 spectral-selection + successive-approximation scans (the JDK
+    writer's default progressive scan script) accumulate to the same raster
+    as the reference decoder — the last GetImage parity gap
+    (core/example.go:137-146: Go image/jpeg decodes progressive)."""
+    jvm = spark.sparkContext._jvm
+    img = _smooth(41, 57, seed=11)
+    data = _jvm_encode_jpeg(jvm, img, grey=True, progressive=True)
+    assert b"\xff\xc2" in data  # really progressive
+    ours = decode_jpeg(data)
+    assert ours.shape == (41, 57)
+    theirs = _jvm_decode_raster(jvm, data)
+    diff = np.abs(ours.astype(np.int16) - theirs)
+    assert diff.max() <= 2 and diff.mean() < 0.5
+
+
+@pytest.mark.parametrize("quality", [0.9, 0.5])
+def test_jpeg_progressive_rgb_matches_jvm_decoder(spark, quality):
+    """Progressive color: subsampled chroma, multiple AC bands + refinement
+    passes per component; same tolerance discipline as the baseline test."""
+    jvm = spark.sparkContext._jvm
+    img = np.stack([_smooth(35, 49, s) for s in (4, 5, 6)], axis=-1)
+    data = _jvm_encode_jpeg(jvm, img, quality=quality, progressive=True)
+    assert b"\xff\xc2" in data
+    ours = decode_jpeg(data)
+    theirs = _jvm_decode(jvm, data)
+    assert ours.shape == theirs.shape
+    diff = np.abs(ours.astype(np.int16) - theirs.astype(np.int16))
+    assert diff.mean() < 4.0, diff.mean()
+    assert np.percentile(diff, 99) <= 12
+    assert diff.max() <= 24
+    assert np.abs(ours.astype(np.int16) - img.astype(np.int16)).mean() < 6
 
 
 def test_jpeg_featurize_reports_true_dimensions(spark):
@@ -146,9 +189,11 @@ def test_jpeg_featurize_reports_true_dimensions(spark):
 
     jvm = spark.sparkContext._jvm
     data = _jvm_encode_jpeg(jvm, _smooth(24, 36, seed=7), grey=True)
+    prog = _jvm_encode_jpeg(jvm, _smooth(20, 28, seed=8), grey=True, progressive=True)
     rows = [
         (0, "image", bytearray(data), None),
         (1, "image", bytearray(b"\xff\xd8\xff corrupt"), None),
+        (2, "image", bytearray(prog), None),
     ]
     df = spark.createDataFrame(
         rows, "media_id long, kind string, payload binary, meta map<string,string>"
@@ -156,3 +201,4 @@ def test_jpeg_featurize_reports_true_dimensions(spark):
     got = {r.media_id: r for r in decode_and_featurize(df).collect()}
     assert (got[0].width, got[0].height) == (36, 24)
     assert (got[1].width, got[1].height) == (8, 8)  # stub fallback
+    assert (got[2].width, got[2].height) == (28, 20)  # progressive decodes
