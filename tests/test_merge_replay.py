@@ -208,6 +208,47 @@ def test_mor_auto_compaction_bounds_delta_files(spark, tmp_path):
     assert_final_state_equal(read_table(t_auto), oracle)
 
 
+def test_mor_auto_compaction_50_epoch_read_amplification(spark, tmp_path):
+    """The long-stream shape auto-compaction exists for: a 50-epoch MOR
+    replay with the trigger on must keep per-bucket delta files bounded at
+    EVERY point of the curve (sawtooth, not monotone growth), keep the read
+    plan's scanned file count O(buckets), and still converge to the
+    sequential oracle. Without the trigger the same replay accumulates
+    O(epochs) delta files per bucket and every read resolves over all of
+    them."""
+    from go_tfdata_spark.lake.table import _WRITE_SPLITS_PER_BUCKET
+
+    n_epochs, trigger = 50, 6
+    changes = synthetic_changes(spark, n_events=5000, n_epochs=n_epochs,
+                                delete_frac=0.1, late_frac=0.1, seed=37)
+    table = create_transcripts_table(
+        spark, str(tmp_path / "mor50"), TRANSCRIPTS_SCHEMA, num_buckets=4
+    )
+    totals, per_bucket_max = [], []
+    for e in range(n_epochs):
+        apply_changes(table, changes.filter(F.col("epoch") == e), job_id="j",
+                      epoch=e, merge_strategy="mor", auto_compact_deltas=trigger)
+        files = table.snapshot().files
+        deltas: dict = {}
+        for f in files:
+            if f.get("delta"):
+                deltas[f.get("bucket")] = deltas.get(f.get("bucket"), 0) + 1
+        totals.append(len(files))
+        per_bucket_max.append(max(deltas.values(), default=0))
+    # bounded at every epoch: below trigger + one epoch's worth of appends
+    assert max(per_bucket_max) < trigger + _WRITE_SPLITS_PER_BUCKET
+    # compaction visibly shrinks the manifest along the way (sawtooth)
+    assert any(b < a for a, b in zip(totals, totals[1:]))
+    # end-state read amplification is O(buckets), nowhere near O(epochs):
+    # an uncompacted control accumulates ~4 delta files per bucket per epoch
+    # (50 epochs -> hundreds of files); the curve must stay way below that
+    assert totals[-1] < 2 * n_epochs
+    scan_files = read_table(table).inputFiles()
+    assert 0 < len(scan_files) < 2 * n_epochs
+    oracle = sequential_apply(changes.toPandas(), PAYLOAD)
+    assert_final_state_equal(read_table(table), oracle)
+
+
 def test_mixed_mor_then_cow(spark, tmp_path):
     changes = synthetic_changes(spark, n_events=1500, n_epochs=3, delete_frac=0.1, seed=11)
     table = create_transcripts_table(spark, str(tmp_path / "mix"), TRANSCRIPTS_SCHEMA, num_buckets=4)
