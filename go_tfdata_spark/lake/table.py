@@ -50,6 +50,7 @@ from pyspark.sql import types as T
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
 _BUCKET_COL = "_bucket"
+_SPLIT_COL = "_split"
 # Write-slices per bucket: constant (a table-layout property, identical at
 # every cluster size) so file counts stay bounded: files/commit <= buckets*4.
 _WRITE_SPLITS_PER_BUCKET = 4
@@ -134,6 +135,14 @@ def bucket_expr(bucket_by: str, num_buckets: int):
     key — the property Iceberg's bucket transform relies on for pruning.
     """
     return F.pmod(F.xxhash64(F.col(bucket_by)), F.lit(num_buckets)).cast("int")
+
+
+def split_expr(bucket_by: str, splits: int):
+    """Deterministic key->write-split hash (sub-divides each bucket; the
+    salt 17 decorrelates it from the bucket hash). Pure function of the
+    key, so a file written under (bucket, split) holds exactly the keys
+    that hash there — at every commit, at every cluster size."""
+    return F.pmod(F.xxhash64(F.col(bucket_by), F.lit(17)), F.lit(splits)).cast("int")
 
 
 @dataclass
@@ -384,10 +393,17 @@ class LakeTable:
         `presharded=True` means the caller guarantees each input partition
         already holds rows of (mostly) one bucket — e.g. rows read straight
         from per-bucket files — so the clustering shuffle is skipped and the
-        write is shuffle-free."""
+        write is shuffle-free.
+
+        Every file lands under `_bucket=B/_split=S/` and its manifest entry
+        records both, so each file holds rows of exactly one (bucket, split)
+        — the invariant the target-local aligned merge relies on to hand a
+        file to the one fold task that owns its keys without any shuffle."""
         commit_dir = os.path.join(_DATA_DIR, uuid.uuid4().hex)
         abs_dir = os.path.join(self.path, commit_dir)
-        out = df.withColumn(_BUCKET_COL, bucket_expr(m.bucket_by, m.num_buckets))
+        splits = _WRITE_SPLITS_PER_BUCKET
+        out = df.withColumn(_BUCKET_COL, bucket_expr(m.bucket_by, m.num_buckets)) \
+            .withColumn(_SPLIT_COL, split_expr(m.bucket_by, splits))
         if not presharded:
             # One parquet dir per bucket partition: rewrites and reads prune
             # by bucket without opening files. Cluster rows by (bucket,
@@ -396,24 +412,31 @@ class LakeTable:
             # stage's makespan — with Zipf-skewed conv_ids one bucket can
             # carry several times the mean, and an unsplit repartition caps
             # scaling at (total work / largest bucket) regardless of cores.
-            splits = _WRITE_SPLITS_PER_BUCKET
             out = out.repartition(
-                m.num_buckets * splits,
-                F.col(_BUCKET_COL),
-                F.pmod(F.xxhash64(F.col(m.bucket_by), F.lit(17)), F.lit(splits)),
+                m.num_buckets * splits, F.col(_BUCKET_COL), F.col(_SPLIT_COL)
             )
-        out.write.partitionBy(_BUCKET_COL).parquet(abs_dir, mode="errorifexists")
+        out.write.partitionBy(_BUCKET_COL, _SPLIT_COL).parquet(
+            abs_dir, mode="errorifexists"
+        )
         entries: list[dict] = []
         for bdir in sorted(os.listdir(abs_dir)):
             if not bdir.startswith(f"{_BUCKET_COL}="):
                 continue
             b = int(bdir.split("=", 1)[1])
-            for fn in sorted(os.listdir(os.path.join(abs_dir, bdir))):
-                if fn.endswith(".parquet"):
-                    e = {"path": f"{commit_dir}/{bdir}/{fn}", "bucket": b}
-                    if delta:
-                        e["delta"] = True
-                    entries.append(e)
+            for sdir in sorted(os.listdir(os.path.join(abs_dir, bdir))):
+                if not sdir.startswith(f"{_SPLIT_COL}="):
+                    continue
+                s = int(sdir.split("=", 1)[1])
+                for fn in sorted(os.listdir(os.path.join(abs_dir, bdir, sdir))):
+                    if fn.endswith(".parquet"):
+                        e = {
+                            "path": f"{commit_dir}/{bdir}/{sdir}/{fn}",
+                            "bucket": b,
+                            "split": s,
+                        }
+                        if delta:
+                            e["delta"] = True
+                        entries.append(e)
         return entries
 
     def append(self, df: DataFrame, summary: dict | None = None) -> Manifest:
@@ -691,8 +714,21 @@ class LakeTable:
         batch-winner counts through the accumulator (see aligned_lww_fold);
         `finalize(manifest)` runs after the data is written but BEFORE the
         atomic publish, letting the caller fold accumulator-derived lineage
-        into the committed summary without breaking commit atomicity."""
-        from go_tfdata_spark.operators.arrow_fold import aligned_lww_fold
+        into the committed summary without breaking commit atomicity.
+
+        TARGET-LOCAL fast path: every file `_write_data` produces holds
+        exactly one (bucket, split) — the fold's own partitioning unit —
+        and the manifest records which. So instead of scanning + shuffling
+        the carried target rows through the JVM each epoch (measured: the
+        dominant non-scaling cost of a steady-state replay, 8->32 speedup
+        1.12x on the carried-target epoch), each fold task reads its OWN
+        partition's target files straight from storage inside the Python
+        worker; only the change batch ever shuffles. Falls back to the
+        union path for manifests predating the split record."""
+        from go_tfdata_spark.operators.arrow_fold import (
+            aligned_lww_fold,
+            fold_partition_map,
+        )
 
         m = self._next_manifest({"operation": "merge", **(summary or {})})
         src = self._conform(source, m.schema)
@@ -701,22 +737,41 @@ class LakeTable:
             affected = [r[0] for r in src.select(bexpr.alias("b")).distinct().collect()]
         if not affected:
             return self.snapshot()
-        target = self.read_buckets(affected, resolve=False)
-        untouched = [f for f in m.files if f.get("bucket") not in set(affected)]
+        aset = set(affected)
+        untouched = [f for f in m.files if f.get("bucket") not in aset]
+        tentries = [f for f in m.files if f.get("bucket") in aset]
+        splits = _WRITE_SPLITS_PER_BUCKET
+        local_kwargs: dict = {}
         flag = None
-        if lineage_acc is not None:
-            flag = "_fold_src"
-            target = target.withColumn(flag, F.lit(False))
-            src = src.withColumn(flag, F.lit(True))
+        if all("split" in f for f in tentries):
+            n_parts = m.num_buckets * splits
+            pmap = fold_partition_map(self.spark, n_parts)
+            tfiles: dict[int, list[str]] = {}
+            for f in tentries:
+                p = pmap[f["bucket"] * splits + f["split"]]
+                tfiles.setdefault(p, []).append(os.path.join(self.path, f["path"]))
+            local_kwargs = {
+                "target_files": tfiles,
+                "stream_batch": lineage_acc is not None,
+            }
+            fold_input = src
+        else:
+            target = self.read_buckets(affected, resolve=False)
+            if lineage_acc is not None:
+                flag = "_fold_src"
+                target = target.withColumn(flag, F.lit(False))
+                src = src.withColumn(flag, F.lit(True))
+            fold_input = target.unionByName(src)
         merged = aligned_lww_fold(
-            target.unionByName(src),
+            fold_input,
             key_cols=key_cols,
             order_cols=order_cols,
             bucket_by=m.bucket_by,
             num_buckets=m.num_buckets,
-            splits=_WRITE_SPLITS_PER_BUCKET,
+            splits=splits,
             batch_flag_col=flag,
             lineage_acc=lineage_acc,
+            **local_kwargs,
         )
         m.files = untouched + self._write_data(merged, m, presharded=True)
         m.summary["affected_buckets"] = sorted(affected)

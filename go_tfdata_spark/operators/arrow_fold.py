@@ -85,6 +85,50 @@ def _winner_table(tbl, key_cols: list[str], sort_cols: list[str]):
     return tbl.take(pc.take(idx, win_rank))
 
 
+def _conform_arrow(tbl, pa_schema):
+    """Conform a parquet-read Arrow table to the fold's Arrow schema:
+    reorder, drop extras, null-fill columns the file predates (additive
+    schema evolution), and cast physical types — Spark writes timestamps
+    as INT96/naive-ns while the fold schema carries timestamp[us, tz=UTC];
+    the cast is a unit/annotation change on the same UTC-epoch int64s,
+    verified lossless either direction."""
+    import pyarrow as pa
+
+    cols = []
+    names = set(tbl.column_names)
+    for field in pa_schema:
+        if field.name in names:
+            col = tbl.column(field.name)
+            if col.type != field.type:
+                col = col.cast(field.type)
+            cols.append(col)
+        else:
+            cols.append(pa.chunked_array([pa.nulls(len(tbl), field.type)]))
+    return pa.Table.from_arrays(cols, schema=pa_schema)
+
+
+_PARTITION_MAP_CACHE: dict[int, dict[int, int]] = {}
+
+
+def fold_partition_map(spark, n_partitions: int) -> dict[int, int]:
+    """Partition index each pid in [0, n_partitions) lands in under
+    ``repartition(n_partitions, col(pid))`` — HashPartitioning is
+    pmod(murmur3(pid), n), evaluated HERE with the engine's own `hash()`
+    expression on the same long type, so the driver-side mapping can never
+    drift from Spark's partitioner. Murmur3 is deterministic, so the map
+    is cached per table layout (one tiny job per process, not per epoch)."""
+    cached = _PARTITION_MAP_CACHE.get(n_partitions)
+    if cached is not None:
+        return cached
+    df = spark.range(n_partitions).select(F.col("id").alias("pid"))
+    rows = df.select(
+        "pid", F.pmod(F.hash(F.col("pid")), F.lit(n_partitions)).alias("p")
+    ).collect()
+    out = {int(r["pid"]): int(r["p"]) for r in rows}
+    _PARTITION_MAP_CACHE[n_partitions] = out
+    return out
+
+
 def aligned_lww_fold(
     df: DataFrame,
     key_cols: list[str],
@@ -98,6 +142,8 @@ def aligned_lww_fold(
     all_batch: bool = False,
     src_part_col: str = "_src_part",
     deleted_col: str = "_deleted",
+    target_files: dict[int, list[str]] | None = None,
+    stream_batch: bool = False,
 ) -> DataFrame:
     """One winner row per key, output partitioned by (bucket, split).
 
@@ -125,10 +171,21 @@ def aligned_lww_fold(
     derives the counts from the already-computed winner table instead of
     maintaining a second slim fold whose input equals the main fold's —
     no flag column, no duplicated sort/group work per task.
+
+    `target_files` ({partition index: [parquet paths]}) is the
+    TARGET-LOCAL merge: carried target rows are not unioned/shuffled at
+    all — each fold task reads the files whose (bucket, split) hashes to
+    its own partition straight from storage (pyarrow, inside the Python
+    worker that folds them). Table files hold exactly one (bucket, split)
+    each (`_write_data` layout invariant), so a file's keys colocate with
+    the shuffled batch rows of the same partition by construction; the
+    mapping comes from `fold_partition_map`. With it, `stream_batch=True`
+    marks every SHUFFLED row as a change-batch row for the lineage fold
+    (no flag column needed — target rows arrive only via local reads).
     """
     import pyarrow as pa
 
-    from go_tfdata_spark.lake.table import bucket_expr
+    from go_tfdata_spark.lake.table import bucket_expr, split_expr
 
     keep_bucket = bucket_col is not None
     bcol = bucket_col or "_fold_bucket"
@@ -137,9 +194,13 @@ def aligned_lww_fold(
         f for f in (work.schema if keep_bucket else df.schema).fields
         if f.name != batch_flag_col
     ]
+    from pyspark.sql.pandas.types import to_arrow_type
     from pyspark.sql.types import StructType
 
     out_schema = StructType(out_fields)
+    pa_schema = pa.schema(
+        [pa.field(f.name, to_arrow_type(f.dataType)) for f in out_fields]
+    )
     cols = [f.name for f in out_fields]
     sort_cols = list(order_cols)
     slim_cols = list(dict.fromkeys([*key_cols, *sort_cols, src_part_col, deleted_col]))
@@ -164,11 +225,27 @@ def aligned_lww_fold(
         bbuf: list = []
         bbuf_rows = 0
 
+        # target-local merge: load this partition's carried target files
+        # before streaming the shuffled batch rows (order is irrelevant to
+        # the fold — ties on the full order tuple mean identical events)
+        if target_files:
+            import pyarrow.parquet as pq
+
+            pid0 = TaskContext.get().partitionId()
+            for path in target_files.get(pid0, []):
+                t = _conform_arrow(pq.read_table(path), pa_schema)
+                if len(t):
+                    buf.append(t)
+                    buf_rows += len(t)
+
         def squash():
             nonlocal winners, buf, buf_rows, bwin, bbuf, bbuf_rows
             tables = ([winners] if winners is not None else []) + buf
             if tables:
-                cur = pa.concat_tables(tables)
+                # promote: shuffled batches arrive with not-null fields,
+                # locally-read target tables with nullable ones — same
+                # physical types, metadata-only unification
+                cur = pa.concat_tables(tables, promote_options="default")
                 winners = _winner_table(cur, key_cols, sort_cols)
                 buf, buf_rows = [], 0
             btables = ([bwin] if bwin is not None else []) + bbuf
@@ -184,6 +261,10 @@ def aligned_lww_fold(
                 if len(flagged):
                     bbuf.append(flagged)
                     bbuf_rows += len(flagged)
+            elif stream_batch and lineage_acc is not None and len(t_full):
+                # local-target mode: every shuffled row IS a batch row
+                bbuf.append(t_full.select(slim_cols))
+                bbuf_rows += len(t_full)
             t = t_full.select(cols)
             buf.append(t)
             buf_rows += len(t)
@@ -211,11 +292,20 @@ def aligned_lww_fold(
         if winners is not None and len(winners):
             yield from winners.select(cols).to_batches(max_chunksize=65_536)
 
-    rep = work.repartition(
-        num_buckets * splits,
-        F.col(bcol),
-        F.pmod(F.xxhash64(F.col(bucket_by), F.lit(17)), F.lit(splits)),
-    )
+    # Partition on ONE long pid = bucket*splits + split (not the (bucket,
+    # split) column pair): a single-column HashPartitioning is the form
+    # `fold_partition_map` can reproduce driver-side, which is what lets
+    # merge_aligned route each target file to the fold task that owns its
+    # keys. Still a pure function of the bucket key, so co-location and
+    # skew-splitting are unchanged.
+    pid_col = "_fold_pid"
+    while pid_col in work.columns:
+        pid_col = "_" + pid_col
+    rep = work.withColumn(
+        pid_col,
+        (F.col(bcol).cast("long") * F.lit(splits)
+         + split_expr(bucket_by, splits).cast("long")),
+    ).repartition(num_buckets * splits, F.col(pid_col)).drop(pid_col)
     if not keep_bucket:
         rep = rep.drop(bcol)  # partitioning already imposed; column not needed
     return rep.mapInArrow(fold, out_schema)

@@ -348,3 +348,81 @@ def test_mor_arrow_fold_matches_oracle(spark, tmp_path):
     table.compact()
     oracle = sequential_apply(changes.toPandas(), PAYLOAD)
     assert_final_state_equal(read_table(table), oracle)
+
+
+def test_aligned_merge_is_target_local(spark, tmp_path):
+    """Steady-state aligned merges must not re-shuffle carried target rows:
+    every file records its (bucket, split), and an epoch whose batch touches
+    a single key still carries every other target row of the affected
+    bucket — rows that can ONLY arrive via the fold tasks' local file reads
+    (the batch shuffle lands them in at most one partition)."""
+    table = create_transcripts_table(
+        spark, str(tmp_path / "tl"), TRANSCRIPTS_SCHEMA, num_buckets=4
+    )
+    changes = synthetic_changes(spark, seed=7, n_events=3000, n_epochs=1,
+                                delete_frac=0.0, late_frac=0.0)
+    replay(table, changes, job_id="tl0", merge_strategy="aligned")
+    m1 = table.snapshot()
+    assert all("split" in f for f in m1.files), "files must record their split"
+    before = read_table(table)
+    n_before = before.count()
+    one = before.limit(1).collect()[0]
+    batch = spark.createDataFrame(
+        [("U", 10**9, datetime(2030, 1, 1), one.conv_id, one.turn_idx,
+          "assistant", "rewritten", None, 0, 0)],
+        CHANGES_SCHEMA,
+    )
+    apply_changes(table, batch, job_id="tl1", epoch=0, merge_strategy="aligned")
+    after = read_table(table)
+    assert after.count() == n_before
+    got = after.filter(
+        (F.col("conv_id") == one.conv_id) & (F.col("turn_idx") == one.turn_idx)
+    ).collect()
+    assert len(got) == 1 and got[0].text == "rewritten"
+
+
+def test_aligned_merge_legacy_manifest_falls_back(spark, tmp_path):
+    """Manifests written before the split record (round-4 layout) must still
+    merge correctly via the union path."""
+    import json
+
+    table = create_transcripts_table(
+        spark, str(tmp_path / "leg"), TRANSCRIPTS_SCHEMA, num_buckets=4
+    )
+    changes = synthetic_changes(spark, seed=11, n_events=2000, n_epochs=2,
+                                delete_frac=0.1, late_frac=0.2)
+    replay(table, changes.filter("epoch = 0"), job_id="leg0",
+           merge_strategy="aligned")
+    # simulate a legacy table: strip the split records from the manifest
+    mp = table._manifest_path(table.current_version())
+    with open(mp) as f:
+        doc = json.load(f)
+    for e in doc["files"]:
+        e.pop("split", None)
+    with open(mp, "w") as f:
+        json.dump(doc, f)
+    replay(table, changes.filter("epoch = 1"), job_id="leg1",
+           merge_strategy="aligned")
+    oracle = sequential_apply(changes.toPandas(), PAYLOAD)
+    assert_final_state_equal(read_table(table), oracle)
+
+
+def test_aligned_schema_evolution_reads_old_files_locally(spark, tmp_path):
+    """Target files that predate an additive column are read IN the fold
+    workers (pyarrow, no Spark schema-on-read) — the conform step must
+    null-fill the new column for them."""
+    changes = synthetic_changes(spark, seed=13, n_events=1500, n_epochs=2,
+                                delete_frac=0.0, late_frac=0.0)
+    e0 = changes.filter("epoch = 0")
+    e1 = with_v2_columns(changes.filter("epoch = 1"))
+    table = create_transcripts_table(
+        spark, str(tmp_path / "evoloc"), TRANSCRIPTS_SCHEMA, num_buckets=4
+    )
+    apply_changes(table, e0, job_id="j", epoch=0, merge_strategy="aligned")
+    apply_changes(table, e1, job_id="j", epoch=1, merge_strategy="aligned")
+    df = read_table(table)
+    assert {"tool_args", "meta"} <= set(df.columns)
+    oracle = sequential_apply(changes.toPandas(), PAYLOAD)
+    assert_final_state_equal(df.select("conv_id", "turn_idx", *PAYLOAD), oracle)
+    assert df.filter("meta IS NOT NULL").count() > 0
+    assert df.filter("meta IS NULL").count() > 0
