@@ -794,6 +794,116 @@ def _q_anti_join(spark, sf):
     )
 
 
+def _q_asof_join(spark, sf):
+    """As-of (temporal) join — the CDC-analytics read: attach each click's
+    most recent preceding purchase snapshot per user (operators/asof.py:
+    union + per-key ordered window carry, ONE shuffle, no range blow-up).
+    Timestamps go through epoch micros so the result is TZ-independent."""
+    from go_tfdata_spark.operators.asof import asof_join
+    from go_tfdata_spark.operators.merge import _ts_micros
+
+    ev = _t(spark, sf, "events")
+    t_us = _ts_micros(ev)  # NTZ-safe epoch micros (session-TZ-independent)
+    left = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", t_us.alias("t_us")
+    )
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", t_us.alias("t_us"))
+        .agg(F.max_by("value", "event_id").alias("purchase_value"))
+    )
+    out = asof_join(left, right, on="user_id", left_ts="t_us", unique_right=True)
+    return out.select(
+        "event_id",
+        "user_id",
+        "t_us",
+        F.col("matched_ts").alias("purchase_t_us"),
+        F.round("purchase_value", 2).alias("purchase_value"),
+    )
+
+
+def _wav_rt_specs():
+    """Deterministic WAV fixtures: (media_id, rate, channels, n_frames,
+    step) — sawtooth-ish full-range int16 from a closed-form integer
+    formula, so the oracle can restate features without running the codec."""
+    return [
+        (i, [8000, 16000, 22050, 44100][i % 4], 1 + (i % 2), 400 + 37 * i, 257 + 13 * i)
+        for i in range(8)
+    ]
+
+
+def _wav_rt_samples(n, ch, k):
+    import numpy as np
+
+    t = np.arange(n * ch, dtype=np.int64)
+    return ((t * k) % 65536 - 32768).astype(np.int16).reshape(n, ch)
+
+
+_WAV_STUB_PAYLOAD = b"ID3" + bytes(range(61))  # not RIFF: exercises degrade
+
+
+def _q_wav_roundtrip(spark, sf):
+    """Audio parity end-to-end: deterministic int16 waves -> encode_wav ->
+    distributed audio_features (real RIFF/PCM decode in mapInPandas). One
+    non-WAV payload rides along to prove the degrade-to-stub contract
+    (decoded=False, deterministic stub features). The oracle restates every
+    feature from the pre-codec arrays — the codec never runs oracle-side —
+    so equality proves the encode->decode round-trip is sample-lossless
+    through the distributed plumbing."""
+    from go_tfdata_spark.functions.multimodal import audio_features
+    from go_tfdata_spark.functions.wav import encode_wav
+
+    rows = [
+        (i, "audio", bytearray(encode_wav(_wav_rt_samples(n, ch, k), rate)), None)
+        for i, rate, ch, n, k in _wav_rt_specs()
+    ]
+    rows.append((98, "audio", bytearray(_WAV_STUB_PAYLOAD), None))
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, meta map<string,string>"
+    )
+    out = audio_features(media)
+    # duration_ms is deliberately NOT in the contract output: it is fully
+    # derived from (n_samples, sample_rate) and values like 437000/16000 =
+    # 27.3125 sit exactly on a decimal-rounding midpoint, where Spark
+    # (HALF_UP) and Python (banker's) legitimately disagree; pytest covers
+    # it with approx-compare instead.
+    return out.select(
+        "media_id",
+        "sample_rate",
+        "channels",
+        "n_samples",
+        F.round("rms", 6).alias("rms"),
+        "zero_crossings",
+        "decoded",
+    )
+
+
+def _wav_roundtrip_sql() -> str:
+    """Literal expected table computed from the raw arrays (no codec) —
+    identical float32-normalize/float64-RMS call chain as wav_features."""
+    import numpy as np
+
+    vals = []
+    for i, rate, ch, n, k in _wav_rt_specs():
+        s = _wav_rt_samples(n, ch, k).astype(np.float32) / 32768.0
+        rms = round(float(np.sqrt(np.mean(s.astype(np.float64) ** 2))), 6)
+        zc = int(np.count_nonzero(np.signbit(s[1:, 0]) != np.signbit(s[:-1, 0])))
+        vals.append(f"({i}, {rate}, {ch}, {n}, {rms}, {zc}, true)")
+    b = _WAV_STUB_PAYLOAD
+    vals.append(
+        f"(98, 8000, 1, {len(b)}, "
+        f"{round((sum(b) % 1000) / 1000.0, 6)}, {len(b) // 2}, false)"
+    )
+    return (
+        "SELECT media_id::BIGINT AS media_id, sample_rate::INT AS sample_rate, "
+        "channels::INT AS channels, n_samples::BIGINT AS n_samples, "
+        "rms::DOUBLE AS rms, "
+        "zero_crossings::BIGINT AS zero_crossings, decoded::BOOLEAN AS decoded "
+        f"FROM (VALUES {', '.join(vals)}) AS t(media_id, sample_rate, channels, "
+        "n_samples, rms, zero_crossings, decoded)"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lww_latest": _q_lww_latest,
@@ -843,6 +953,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets": _q_grouping_sets,
         "topk_orders": _q_topk_orders,
         "anti_join": _q_anti_join,
+        "asof_join": _q_asof_join,
+        "wav_roundtrip": _q_wav_roundtrip,
     }
 
 
@@ -1196,6 +1308,24 @@ def oracle_sql() -> dict[str, str]:
           WHERE c_custkey NOT IN
             (SELECT o_custkey FROM orders WHERE o_totalprice < 20000)
         """,
+        # asof_join: DuckDB's native ASOF LEFT JOIN restates the union+
+        # window-carry operator (inclusive t_right <= t_left semantics).
+        "asof_join": """
+          WITH l AS (
+            SELECT event_id, user_id, epoch_us(ts) AS t_us
+            FROM events WHERE event_type = 'click'
+          ), r AS (
+            SELECT user_id, epoch_us(ts) AS t_us,
+                   max_by(value, event_id) AS purchase_value
+            FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+          )
+          SELECT l.event_id, l.user_id, l.t_us,
+                 r.t_us AS purchase_t_us,
+                 round(r.purchase_value, 2) AS purchase_value
+          FROM l ASOF LEFT JOIN r
+            ON l.user_id = r.user_id AND l.t_us >= r.t_us
+        """,
+        "wav_roundtrip": _wav_roundtrip_sql(),
         # media_plumbing: the mapInPandas featurize stage is deterministic —
         # the stub decoder always yields an 8x8 grid and n_bytes is the
         # payload's byte length — so the output IS SQL-expressible.

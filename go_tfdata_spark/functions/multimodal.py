@@ -118,6 +118,64 @@ def decode_and_featurize(df: DataFrame, batch_size_hint: int = 1024) -> DataFram
     return df.mapInPandas(_featurize, FEATURE_SCHEMA)
 
 
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("duration_ms", T.DoubleType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("zero_crossings", T.LongType(), True),
+        T.StructField("decoded", T.BooleanType(), False),
+    ]
+)
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """mapInPandas stage: WAV payloads -> real decoded features (rate,
+    channels, duration, RMS, zero-crossings — functions/wav.py); payloads
+    outside the decodable set (mp3/ogg/corrupt) degrade to a deterministic
+    byte-derived stub with decoded=False, same contract as the image path —
+    one bad file never fails the ingest task."""
+    from go_tfdata_spark.functions.wav import wav_features
+
+    def _stub(payload: bytes | None) -> dict:
+        b = payload or b"\x00"
+        return {
+            "sample_rate": 8000,
+            "channels": 1,
+            "n_samples": len(b),
+            "duration_ms": len(b) * 1000.0 / 8000.0,
+            "rms": (sum(b) % 1000) / 1000.0,
+            "zero_crossings": len(b) // 2,
+        }
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    f, ok = wav_features(payload), True
+                except Exception:
+                    f, ok = _stub(payload), False
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "sample_rate": f["sample_rate"],
+                        "channels": f["channels"],
+                        "n_samples": f["n_samples"],
+                        "duration_ms": f["duration_ms"],
+                        "rms": f["rms"],
+                        "zero_crossings": f["zero_crossings"],
+                        "decoded": ok,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(_feat, AUDIO_FEATURE_SCHEMA)
+
+
 def frame_sample(df: DataFrame, every_nth: int = 10) -> DataFrame:
     """Video frame-sampling plumbing: explode a synthetic frame index from
     metadata (`meta['n_frames']`), keep every nth — the decode of each
