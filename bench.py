@@ -70,8 +70,19 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
     spark = get_spark("bench-headline", cores=cpus, shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
-    # JVM/codegen warmup so the first measured query isn't charged for it
-    qs["lww_latest"](spark, sf_dir).count()
+    # Steady-state warmup, same philosophy as the replay side: a production
+    # pipeline is warm, so the bench should not charge whole-stage-codegen
+    # JIT to whichever query runs first. Each headline PLAN SHAPE runs once
+    # at sf0.001 (pennies: ~100x less data, same generated code) — measured
+    # cold-vs-warm delta on shingle_jaccard alone was 7.5 s vs 2.2-3.4 s.
+    warm_sf = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if os.path.isdir(warm_sf):
+        for name in HEADLINE:
+            try:
+                qs[name](spark, warm_sf).count()
+            except Exception:
+                pass  # warmup must never kill the bench
+    qs["lww_latest"](spark, sf_dir).count()  # touch the sf-dir scan path too
     times = {}
     for name in HEADLINE:
         fn = qs[name]
@@ -596,7 +607,11 @@ def main() -> None:
             _gen_logs(32, CDC_EVENTS_SAT)
             sat = run_cdc_scaling(
                 CDC_EVENTS_SAT, 8, 32,
-                reps=int(os.environ.get("SPARK_GRAFT_CDC_SAT_REPS", "3")),
+                # 4 interleaved reps: DRAM-contention windows are invisible
+                # to steal%% (r5 capture: best hi leg 70.3 s at 0.25%% steal
+                # vs 50-52 s known-quiet peak) — an extra rep is the only
+                # defense; early-stop still fires at 0.7 normalized.
+                reps=int(os.environ.get("SPARK_GRAFT_CDC_SAT_REPS", "4")),
                 budget_left=lambda: budget_left() - 300.0,
                 probe_pair=True, target_norm=0.7,
             )
