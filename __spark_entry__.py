@@ -904,6 +904,75 @@ def _wav_roundtrip_sql() -> str:
     )
 
 
+def _avi_rt_videos():
+    """Deterministic RGB frame stacks from a closed-form integer formula
+    (so the oracle restates features without running the codec)."""
+    import numpy as np
+
+    vids = []
+    for i, (h, w) in enumerate([(16, 16), (12, 20), (9, 33), (24, 8)]):
+        frames = []
+        for t in range(3 + i):
+            base = (np.add.outer(np.arange(h) * 3, np.arange(w) * 5) + 17 * t + 11 * i)
+            rgb = np.stack([(base + 37 * c) % 256 for c in range(3)], axis=2)
+            frames.append(rgb.astype(np.uint8))
+        vids.append((i, frames))
+    return vids
+
+
+_AVI_STUB_PAYLOAD = b"\x00\x00\x00\x01moov-not-avi" + bytes(range(48))
+
+
+def _q_avi_frames(spark, sf):
+    """Video parity end-to-end: deterministic RGB frames -> encode_avi
+    (raw DIB coding) -> distributed video_frames stage (real container
+    walk + frame decode + luminance grid, every_nth=2). One non-AVI
+    payload rides along for the degrade-to-stub contract. The oracle
+    restates every value from the pre-codec arrays — equality proves the
+    container round-trip is pixel-lossless through the plumbing."""
+    from go_tfdata_spark.functions.avi import encode_avi
+    from go_tfdata_spark.functions.multimodal import video_frames
+
+    rows = [
+        (i, "video", bytearray(encode_avi(frames)), None)
+        for i, frames in _avi_rt_videos()
+    ]
+    rows.append((97, "video", bytearray(_AVI_STUB_PAYLOAD), None))
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, meta map<string,string>"
+    )
+    out = video_frames(media, every_nth=2)
+    return out.select(
+        "media_id", "frame_idx", "width", "height",
+        F.round("f0", 4).alias("f0"), "decoded",
+    )
+
+
+def _avi_frames_sql() -> str:
+    """Literal expected table from the raw arrays (no codec)."""
+    import numpy as np
+
+    from go_tfdata_spark.functions.multimodal import _BT601, _fake_decode, _grid8
+
+    vals = []
+    for i, frames in _avi_rt_videos():
+        for idx, fr in enumerate(frames):
+            if idx % 2:
+                continue
+            lum = (fr.astype(np.float32) / 255.0) @ (_BT601 / _BT601.sum())
+            f0 = round(float(_grid8(lum).mean(axis=0)[0]), 4)
+            vals.append(f"({i}, {idx}, {fr.shape[1]}, {fr.shape[0]}, {f0}, true)")
+    f0s = round(float(_grid8(_fake_decode(_AVI_STUB_PAYLOAD)).mean(axis=0)[0]), 4)
+    vals.append(f"(97, -1, 8, 8, {f0s}, false)")
+    return (
+        "SELECT media_id::BIGINT AS media_id, frame_idx::INT AS frame_idx, "
+        "width::INT AS width, height::INT AS height, f0::DOUBLE AS f0, "
+        "decoded::BOOLEAN AS decoded "
+        f"FROM (VALUES {', '.join(vals)}) AS t(media_id, frame_idx, width, "
+        "height, f0, decoded)"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "lww_latest": _q_lww_latest,
@@ -955,6 +1024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join": _q_anti_join,
         "asof_join": _q_asof_join,
         "wav_roundtrip": _q_wav_roundtrip,
+        "avi_frames": _q_avi_frames,
     }
 
 
@@ -1326,6 +1396,7 @@ def oracle_sql() -> dict[str, str]:
             ON l.user_id = r.user_id AND l.t_us >= r.t_us
         """,
         "wav_roundtrip": _wav_roundtrip_sql(),
+        "avi_frames": _avi_frames_sql(),
         # media_plumbing: the mapInPandas featurize stage is deterministic —
         # the stub decoder always yields an 8x8 grid and n_bytes is the
         # payload's byte length — so the output IS SQL-expressible.

@@ -6,12 +6,16 @@ The full GetImage format set is decoded FOR REAL here by dependency-free
 codecs: PNG/PPM (functions/png.py — stdlib zlib + numpy, all five filters),
 GIF (functions/gif.py — LZW both directions, interlace, transparency) and
 JPEG (functions/jpeg.py — T.81 baseline and progressive, restart markers,
-arbitrary chroma subsampling, vectorized IDCT). The deterministic stub is
-the FALLBACK only — corrupt/truncated payloads and formats outside the set
-(audio/video codecs) degrade to it instead of failing the ingest task, so
-the Spark-side plumbing — schema, Arrow batch shape, mapInPandas
-partitioning — always completes, and swapping the stub for PIL/torchaudio
-changes one function body, not the pipeline.
+arbitrary chroma subsampling, vectorized IDCT). Audio decodes FOR REAL too
+(functions/wav.py — RIFF/WAVE, PCM 8/16/24/32-bit + IEEE float +
+EXTENSIBLE), and video as well (functions/avi.py — AVI container with raw
+DIB and MJPEG frame codings, the latter through the same JPEG entropy
+decoder). The deterministic stub is the FALLBACK only — corrupt/truncated
+payloads and codecs outside the set (mp3/ogg, H.264, arithmetic-coded
+JPEG) degrade to it instead of failing the ingest task, so the Spark-side
+plumbing — schema, Arrow batch shape, mapInPandas partitioning — always
+completes, and swapping the stub for PIL/torchaudio/ffmpeg changes one
+function body, not the pipeline.
 """
 
 from __future__ import annotations
@@ -174,6 +178,75 @@ def audio_features(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(_feat, AUDIO_FEATURE_SCHEMA)
+
+
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("f0", T.DoubleType(), True),
+        T.StructField("decoded", T.BooleanType(), False),
+    ]
+)
+
+_BT601 = np.array([0.299, 0.587, 0.114], dtype=np.float32)
+
+
+def video_frames(df: DataFrame, every_nth: int = 1) -> DataFrame:
+    """mapInPandas stage: AVI payloads -> one row per sampled video frame
+    with real decoded dimensions and a luminance summary feature (f0 = the
+    first row-mean of the 8x8 grid — same statistic as the image path).
+    DIB and MJPEG frame codings decode for real (functions/avi.py);
+    payloads outside that set degrade to ONE deterministic stub row
+    (frame_idx -1, stub feature, decoded=False) so a bad file never fails
+    the task. `every_nth` subsamples frames at decode time — skipped
+    frames never materialize as rows."""
+    from go_tfdata_spark.functions.avi import decode_avi_frames
+
+    def _rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rows = []
+                try:
+                    for idx, fr in decode_avi_frames(payload):
+                        if idx % every_nth:
+                            continue
+                        lum = (fr.astype(np.float32) / 255.0) @ (_BT601 / _BT601.sum())
+                        g = _grid8(lum)
+                        rows.append(
+                            {
+                                "media_id": mid,
+                                "frame_idx": idx,
+                                "width": fr.shape[1],
+                                "height": fr.shape[0],
+                                "f0": float(g.mean(axis=0)[0]),
+                                "decoded": True,
+                            }
+                        )
+                except Exception:
+                    # all-or-nothing per payload: a mid-stream decode
+                    # failure must not emit a partial frame set
+                    g = _grid8(_fake_decode(payload))
+                    rows = [
+                        {
+                            "media_id": mid,
+                            "frame_idx": -1,
+                            "width": 8,
+                            "height": 8,
+                            "f0": float(g.mean(axis=0)[0]),
+                            "decoded": False,
+                        }
+                    ]
+                out.extend(rows)
+            yield pd.DataFrame(
+                out,
+                columns=[f.name for f in VIDEO_FRAME_SCHEMA],
+            )
+
+    return df.mapInPandas(_rows, VIDEO_FRAME_SCHEMA)
 
 
 def frame_sample(df: DataFrame, every_nth: int = 10) -> DataFrame:
