@@ -547,6 +547,36 @@ def _q_lineage_metrics(spark, sf):
     )
 
 
+def _q_time_travel(spark, sf):
+    """Snapshot-as-of-epoch read (Iceberg-style time travel, resolved
+    through the in-commit exactly-once ledger): replay the 2-epoch
+    events-derived change stream into a per-pid temp lake, then read the
+    table AS OF epoch 0 — epoch-1 rows must be absent and epoch-0
+    tombstones filtered. The oracle folds the restated change mapping with
+    `epoch <= 0` independently in SQL; ts compared as epoch micros."""
+    import shutil
+
+    from go_tfdata_spark.model import TRANSCRIPTS_SCHEMA
+    from go_tfdata_spark.operators.merge import (
+        _ts_micros,
+        create_transcripts_table,
+        read_table,
+        replay,
+    )
+
+    changes = _events_as_changes(_t(spark, sf, "events"))
+    base = os.path.join(tempfile.gettempdir(), f"go_tfdata_spark_tt_{os.getpid()}")
+    shutil.rmtree(base, ignore_errors=True)
+    table = create_transcripts_table(
+        spark, os.path.join(base, "t"), TRANSCRIPTS_SCHEMA, num_buckets=8
+    )
+    replay(table, changes, job_id="tt")
+    past = read_table(table, as_of_epoch=0, job_id="tt")
+    return past.select(
+        "conv_id", "turn_idx", "role", _ts_micros(past).alias("ts_us")
+    )
+
+
 def _q_stratified_sample(spark, sf):
     """Deterministic per-stratum sampling (training-data op): ~20% of each
     language's documents by md5 threshold — reproducible across runs,
@@ -1001,6 +1031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "embedding_near_dups": _q_embedding_near_dups,
         "lineage_metrics": _q_lineage_metrics,
+        "time_travel": _q_time_travel,
         "stratified_sample": _q_stratified_sample,
         "split_assign": _q_split_assign,
         "gif_roundtrip": _q_gif_roundtrip,
@@ -1286,6 +1317,29 @@ def oracle_sql() -> dict[str, str]:
                  coalesce(c.rows_deleted, 0)::BIGINT AS rows_deleted,
                  o.wm_us
           FROM offs o LEFT JOIN cnt c USING (epoch, src_part)
+        """,
+        # time_travel: the as-of-epoch-0 snapshot is the per-key LWW fold of
+        # the change stream RESTRICTED to epoch 0, minus tombstones; role
+        # restated from the same mapping, ts compared as epoch micros.
+        "time_travel": """
+          WITH ch AS (
+            SELECT CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+                   event_id AS lsn, ts,
+                   'u' || user_id::VARCHAR AS conv_id,
+                   (event_id % 8)::INT AS turn_idx,
+                   CASE WHEN event_type IN ('click', 'view') THEN 'user'
+                        ELSE 'assistant' END AS role,
+                   (event_id % 2)::INT AS epoch,
+                   (user_id % 4)::INT AS src_part
+            FROM events
+          ), w AS (
+            SELECT *, row_number() OVER (
+              PARTITION BY conv_id, turn_idx
+              ORDER BY ts DESC, lsn DESC, src_part DESC) rn
+            FROM ch WHERE epoch <= 0
+          )
+          SELECT conv_id, turn_idx, role, epoch_us(ts) AS ts_us
+          FROM w WHERE rn = 1 AND op <> 'D'
         """,
         # stratified_sample / split_assign: the md5-threshold cut restated
         # literally — lowercase-hex string comparison is engine-identical.

@@ -914,3 +914,53 @@ class LakeTable:
         if not entry:
             return set()
         return set(range(0, int(entry["lw"]) + 1)) | {int(x) for x in entry["extra"]}
+
+    # ------------------------------------------------------------ time travel
+    def retained_versions(self) -> list[int]:
+        """Ascending list of manifest versions still on disk (vacuum keeps
+        the newest `keep_versions`; older snapshots age out of travel)."""
+        d = os.path.join(self.path, _MANIFEST_DIR)
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            int(f[1:-5])
+            for f in os.listdir(d)
+            if f.startswith("v") and f.endswith(".json")
+        )
+
+    def version_for_epoch(self, job_id: str, epoch: int) -> int:
+        """Time travel by ledger: the SMALLEST retained manifest version
+        whose cumulative ledger contains (job_id, epoch) — i.e. the table
+        exactly as of that epoch's commit (later epochs absent). Because
+        the ledger rides inside every data commit and only grows,
+        membership is monotone in version, so this is a binary search over
+        retained manifests: O(log versions) manifest reads, no chain scan.
+        Raises KeyError when the epoch was never committed or its manifest
+        was vacuumed past (`retained_versions` bounds the travel window)."""
+        vs = self.retained_versions()
+        if not vs or not _ledger_contains(
+            self.snapshot(vs[-1]).ledger or {}, job_id, epoch
+        ):
+            raise KeyError(f"epoch {epoch} of job {job_id!r} not committed")
+        lo, hi = 0, len(vs) - 1
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if _ledger_contains(self.snapshot(vs[mid]).ledger or {}, job_id, epoch):
+                hi = mid
+            else:
+                lo = mid + 1
+        # Exactness: the ledger is cumulative, so after a vacuum every
+        # retained manifest still CONTAINS old epochs — containing is not
+        # introducing. The manifest that introduced an epoch names it in
+        # its own commit summary (_publish folds exactly that into the
+        # ledger); if the first retained manifest containing the epoch
+        # doesn't name it, the true snapshot was vacuumed away and serving
+        # a later state as "as of epoch k" would silently include newer
+        # epochs.
+        s = self.snapshot(vs[lo]).summary or {}
+        if s.get("job_id") != job_id or int(s.get("epoch", -1)) != int(epoch):
+            raise KeyError(
+                f"epoch {epoch} of job {job_id!r} predates the retained "
+                f"manifest window (vacuumed); oldest retained version {vs[0]}"
+            )
+        return vs[lo]

@@ -63,9 +63,27 @@ def create_transcripts_table(
     )
 
 
-def read_table(table: LakeTable) -> DataFrame:
-    """User-facing read: tombstones filtered, engine metadata dropped."""
-    df = table.read()
+def read_table(
+    table: LakeTable,
+    version: int | None = None,
+    as_of_epoch: int | None = None,
+    job_id: str | None = None,
+) -> DataFrame:
+    """User-facing read: tombstones filtered, engine metadata dropped.
+
+    Time travel (Iceberg-style snapshot reads over the retained manifest
+    chain): pass `version` for a raw manifest version, or `as_of_epoch` +
+    `job_id` to read the table exactly as of that epoch's commit — the
+    version is resolved through the in-commit exactly-once ledger
+    (`LakeTable.version_for_epoch`), so "as of epoch k" means precisely
+    "k committed, nothing after it", regardless of wall-clock timing."""
+    if as_of_epoch is not None:
+        if version is not None:
+            raise ValueError("pass either version or as_of_epoch, not both")
+        if job_id is None:
+            raise ValueError("as_of_epoch requires job_id")
+        version = table.version_for_epoch(job_id, as_of_epoch)
+    df = table.read(version)
     return df.filter(~F.coalesce(F.col("_deleted"), F.lit(False))).drop(*META_COLUMNS)
 
 
