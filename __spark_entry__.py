@@ -577,6 +577,35 @@ def _q_time_travel(spark, sf):
     )
 
 
+def _q_table_changes(spark, sf):
+    """Change data feed OUT (Delta-CDF analog): replay the 2-epoch stream,
+    then emit epoch 1's visible-state delta — inserts, update postimages
+    and deletes, classified by comparing this commit's snapshot with its
+    parent through the ledger time travel. The oracle classifies the same
+    diff from two independent SQL folds (epoch<=0 vs epoch<=1)."""
+    import shutil
+
+    from go_tfdata_spark.model import TRANSCRIPTS_SCHEMA
+    from go_tfdata_spark.operators.merge import (
+        _ts_micros,
+        create_transcripts_table,
+        replay,
+        table_changes,
+    )
+
+    changes = _events_as_changes(_t(spark, sf, "events"))
+    base = os.path.join(tempfile.gettempdir(), f"go_tfdata_spark_cdf_{os.getpid()}")
+    shutil.rmtree(base, ignore_errors=True)
+    table = create_transcripts_table(
+        spark, os.path.join(base, "t"), TRANSCRIPTS_SCHEMA, num_buckets=8
+    )
+    replay(table, changes, job_id="cdf")
+    feed = table_changes(table, "cdf", epoch=1)
+    return feed.select(
+        "conv_id", "turn_idx", "_change_type", _ts_micros(feed).alias("ts_us")
+    )
+
+
 def _q_stratified_sample(spark, sf):
     """Deterministic per-stratum sampling (training-data op): ~20% of each
     language's documents by md5 threshold — reproducible across runs,
@@ -1032,6 +1061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": _q_embedding_near_dups,
         "lineage_metrics": _q_lineage_metrics,
         "time_travel": _q_time_travel,
+        "table_changes": _q_table_changes,
         "stratified_sample": _q_stratified_sample,
         "split_assign": _q_split_assign,
         "gif_roundtrip": _q_gif_roundtrip,
@@ -1340,6 +1370,44 @@ def oracle_sql() -> dict[str, str]:
           )
           SELECT conv_id, turn_idx, role, epoch_us(ts) AS ts_us
           FROM w WHERE rn = 1 AND op <> 'D'
+        """,
+        # table_changes: CDF classification from two independent folds.
+        "table_changes": """
+          WITH ch AS (
+            SELECT CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+                   event_id AS lsn, ts,
+                   'u' || user_id::VARCHAR AS conv_id,
+                   (event_id % 8)::INT AS turn_idx,
+                   (event_id % 2)::INT AS epoch,
+                   (user_id % 4)::INT AS src_part
+            FROM events
+          ), w1 AS (
+            SELECT * FROM (
+              SELECT ch.*, row_number() OVER (
+                PARTITION BY conv_id, turn_idx
+                ORDER BY ts DESC, lsn DESC, src_part DESC) rn
+              FROM ch WHERE epoch <= 1) WHERE rn = 1
+          ), w0 AS (
+            SELECT * FROM (
+              SELECT ch.*, row_number() OVER (
+                PARTITION BY conv_id, turn_idx
+                ORDER BY ts DESC, lsn DESC, src_part DESC) rn
+              FROM ch WHERE epoch <= 0) WHERE rn = 1
+          ), d AS (
+            SELECT w1.conv_id, w1.turn_idx, epoch_us(w1.ts) AS ts_us,
+                   CASE
+                     WHEN w1.op <> 'D' AND (w0.conv_id IS NULL OR w0.op = 'D')
+                       THEN 'insert'
+                     WHEN w1.op <> 'D' AND w0.op <> 'D' AND w1.lsn <> w0.lsn
+                       THEN 'update_postimage'
+                     WHEN w1.op = 'D' AND w0.conv_id IS NOT NULL AND w0.op <> 'D'
+                       THEN 'delete'
+                   END AS _change_type
+            FROM w1 LEFT JOIN w0
+              ON w1.conv_id = w0.conv_id AND w1.turn_idx = w0.turn_idx
+          )
+          SELECT conv_id, turn_idx, _change_type, ts_us
+          FROM d WHERE _change_type IS NOT NULL
         """,
         # stratified_sample / split_assign: the md5-threshold cut restated
         # literally — lowercase-hex string comparison is engine-identical.

@@ -87,6 +87,68 @@ def read_table(
     return df.filter(~F.coalesce(F.col("_deleted"), F.lit(False))).drop(*META_COLUMNS)
 
 
+def table_changes(
+    table: LakeTable,
+    job_id: str,
+    epoch: int,
+    key_cols: list[str] = list(KEY_COLUMNS),
+) -> DataFrame:
+    """Change data feed OUT (the Delta-CDF analog, built on the ledger
+    time travel): the row-level changes epoch `epoch` introduced, each
+    classified `_change_type` in {insert, update_postimage, delete}.
+
+    Completes the CDC story: change streams fold IN through replay /
+    streaming ingest, and downstream consumers read the per-epoch diff
+    back OUT without scanning or re-folding the raw log. Both sides are
+    snapshot reads of the SAME bucketed layout (this epoch's commit and
+    its parent), so the diff is ONE key-equality join over identically
+    bucketed data — cost O(table), not O(log); on a catalog-bucketed /
+    Iceberg deployment the join co-partitions with zero shuffle, and a
+    bucket-pruned variant (read_buckets on both sides) diffs only the
+    buckets the epoch touched.
+
+    Every emitted row carries the POST-image (for deletes: the tombstone
+    row — its ts/_lsn are the delete event's own, the preimage business
+    columns are gone by design). Rows whose key saw events but whose LWW
+    winner did not change (a late event that lost the fold) do NOT appear:
+    the feed is the visible-state delta, exactly what a downstream
+    materialization needs to stay consistent.
+
+    Raises KeyError (via `version_for_epoch`) when the epoch's snapshot or
+    its parent has been vacuumed past."""
+    v = table.version_for_epoch(job_id, epoch)
+    m = table.snapshot(v)
+    cur = table.read(v)
+    c_del = F.coalesce(F.col("_deleted"), F.lit(False))
+    if m.parent is None:
+        prev = None
+    else:
+        prev = table.read(m.parent).filter(
+            ~F.coalesce(F.col("_deleted"), F.lit(False))
+        )
+    if prev is None:
+        out = cur.filter(~c_del).withColumn("_change_type", F.lit("insert"))
+        return out.drop(*META_COLUMNS)
+    p = prev.select(
+        *key_cols,
+        F.col("_lsn").alias("_p_lsn"),
+        F.lit(True).alias("_p_exists"),
+    )
+    j = cur.join(p, key_cols, "left")
+    p_live = F.coalesce(F.col("_p_exists"), F.lit(False))
+    change = (
+        F.when(~c_del & ~p_live, F.lit("insert"))
+        .when(~c_del & p_live & (F.col("_lsn") != F.col("_p_lsn")),
+              F.lit("update_postimage"))
+        .when(c_del & p_live, F.lit("delete"))
+    )
+    return (
+        j.withColumn("_change_type", change)
+        .filter(F.col("_change_type").isNotNull())
+        .drop("_p_lsn", "_p_exists", *META_COLUMNS)
+    )
+
+
 def validate_changes(
     changes: DataFrame,
     key_cols: list[str] = list(KEY_COLUMNS),
