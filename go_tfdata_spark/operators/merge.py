@@ -87,11 +87,23 @@ def read_table(
     return df.filter(~F.coalesce(F.col("_deleted"), F.lit(False))).drop(*META_COLUMNS)
 
 
+def _touched_buckets(prev_m, cur_m) -> set[int] | None:
+    """Buckets whose file sets differ between two manifests; None when any
+    differing file lacks a bucket id (legacy layout -> no safe pruning)."""
+    prev_paths = {f["path"] for f in prev_m.files}
+    cur_paths = {f["path"] for f in cur_m.files}
+    diff = [f for f in cur_m.files if f["path"] not in prev_paths]
+    diff += [f for f in prev_m.files if f["path"] not in cur_paths]
+    buckets = {f.get("bucket") for f in diff}
+    return None if None in buckets else buckets
+
+
 def table_changes(
     table: LakeTable,
     job_id: str,
     epoch: int,
     key_cols: list[str] = list(KEY_COLUMNS),
+    prune_buckets: bool = True,
 ) -> DataFrame:
     """Change data feed OUT (the Delta-CDF analog, built on the ledger
     time travel): the row-level changes epoch `epoch` introduced, each
@@ -115,17 +127,28 @@ def table_changes(
     materialization needs to stay consistent.
 
     Raises KeyError (via `version_for_epoch`) when the epoch's snapshot or
-    its parent has been vacuumed past."""
+    its parent has been vacuumed past.
+
+    `prune_buckets` (default on): data files are immutable, so a bucket
+    whose file set is IDENTICAL in both manifests cannot contain a changed
+    row — both snapshot scans are pruned to the buckets the commit
+    actually rewrote (file-path set diff, driver-side, O(files)). A sparse
+    epoch that touched 3 of 4096 buckets diffs 3 buckets, not the table."""
     v = table.version_for_epoch(job_id, epoch)
     m = table.snapshot(v)
-    cur = table.read(v)
     c_del = F.coalesce(F.col("_deleted"), F.lit(False))
     if m.parent is None:
-        prev = None
+        cur, prev = table.read(v), None
     else:
-        prev = table.read(m.parent).filter(
-            ~F.coalesce(F.col("_deleted"), F.lit(False))
-        )
+        pm = table.snapshot(m.parent)
+        touched = _touched_buckets(pm, m) if prune_buckets else None
+        if touched is not None:
+            cur = table.read_buckets(sorted(touched), version=v)
+            prev = table.read_buckets(sorted(touched), version=m.parent)
+        else:
+            cur = table.read(v)
+            prev = table.read(m.parent)
+        prev = prev.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
     if prev is None:
         out = cur.filter(~c_del).withColumn("_change_type", F.lit("insert"))
         return out.drop(*META_COLUMNS)

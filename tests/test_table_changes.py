@@ -81,6 +81,37 @@ def test_feed_applies_to_previous_materialization(replayed):
         assert mat == _state(table, epoch)
 
 
+def test_bucket_pruning_scans_fewer_files_same_answer(spark, tmp_path):
+    """A sparse epoch (one conv touched) must diff only that conv's bucket:
+    identical feed, strictly fewer files scanned."""
+    from go_tfdata_spark.operators.merge import apply_changes
+
+    changes = synthetic_changes(
+        spark, n_events=600, n_epochs=1, delete_frac=0.1, late_frac=0.0, seed=17
+    )
+    table = create_transcripts_table(
+        spark, str(tmp_path / "t"), TRANSCRIPTS_SCHEMA, num_buckets=8
+    )
+    replay(table, changes, job_id="cdf")
+    one_conv = changes.limit(1).collect()[0]["conv_id"]
+    sparse = (
+        changes.filter(F.col("conv_id") == one_conv)
+        .limit(3)
+        .withColumn("epoch", F.lit(1))
+        .withColumn("lsn", F.col("lsn") + 10_000_000)
+        .withColumn("op", F.lit("U"))
+        # later ts than anything in epoch 0, so the updates WIN the fold
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 30 DAYS"))
+    )
+    apply_changes(table, sparse, job_id="cdf", epoch=1)
+    pruned = table_changes(table, "cdf", 1)
+    full = table_changes(table, "cdf", 1, prune_buckets=False)
+    key = lambda r: (r["conv_id"], r["turn_idx"], r["_change_type"])  # noqa: E731
+    assert sorted(map(key, pruned.collect())) == sorted(map(key, full.collect()))
+    assert pruned.count() > 0
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+
+
 def test_epoch0_is_all_inserts(replayed):
     table, _ = replayed
     types = (
