@@ -1,8 +1,8 @@
 """As-of (temporal) join: attach the latest right-side state at each left ts.
 
-The reference folds a change stream to "latest state per key" and joins it
-to records once, at the end (tfdata/core/transform.go rename/last-wins and
-the greedy materialize source); an as-of join is the same LWW semantics
+The reference resolves "last write wins" once, at read time (Rename's
+last-entry-wins loop, tfdata/transform/transformation.go:58-75, over the
+greedy materialize source); an as-of join is the same LWW semantics
 applied AT EVERY left timestamp — the canonical CDC-analytics read
 ("what was this user's last snapshot when the event happened?").
 
