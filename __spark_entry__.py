@@ -547,6 +547,18 @@ def _q_lineage_metrics(spark, sf):
     )
 
 
+def _changes_utc(changes: DataFrame) -> DataFrame:
+    """Pin the change stream's ts to a true UTC instant before a lake
+    write. Parquet scans yield TIMESTAMP_NTZ here, and writing NTZ into
+    the table's TIMESTAMP column casts through the SESSION timezone — a
+    non-UTC driver would shift every stored instant. timestamp_micros over
+    the NTZ-safe epoch extraction (naive-as-UTC, matching DuckDB
+    epoch_us) makes the stored value session-TZ-independent."""
+    from go_tfdata_spark.operators.merge import _ts_micros
+
+    return changes.withColumn("ts", F.timestamp_micros(_ts_micros(changes)))
+
+
 def _q_time_travel(spark, sf):
     """Snapshot-as-of-epoch read (Iceberg-style time travel, resolved
     through the in-commit exactly-once ledger): replay the 2-epoch
@@ -564,7 +576,7 @@ def _q_time_travel(spark, sf):
         replay,
     )
 
-    changes = _events_as_changes(_t(spark, sf, "events"))
+    changes = _changes_utc(_events_as_changes(_t(spark, sf, "events")))
     base = os.path.join(tempfile.gettempdir(), f"go_tfdata_spark_tt_{os.getpid()}")
     shutil.rmtree(base, ignore_errors=True)
     table = create_transcripts_table(
@@ -593,7 +605,7 @@ def _q_table_changes(spark, sf):
         table_changes,
     )
 
-    changes = _events_as_changes(_t(spark, sf, "events"))
+    changes = _changes_utc(_events_as_changes(_t(spark, sf, "events")))
     base = os.path.join(tempfile.gettempdir(), f"go_tfdata_spark_cdf_{os.getpid()}")
     shutil.rmtree(base, ignore_errors=True)
     table = create_transcripts_table(
