@@ -15,7 +15,9 @@ sort-merge formulation instead:
      the other side's fields;
   2. one window per key ordered by (ts, side) — right rows sort BEFORE
      left rows at equal ts, giving inclusive t_right <= t_left semantics —
-     carrying `last(value, ignorenulls=True)` forward;
+     carrying the whole right row forward as ONE struct with
+     `last(struct, ignorenulls=True)` (per-column carries would stitch
+     different right rows together whenever a payload value is NULL);
   3. keep left rows; apply the optional tolerance as a filter on the
      carried right ts.
 
@@ -77,8 +79,8 @@ def asof_join(
     keys = [on] if isinstance(on, str) else list(on)
     right_ts = right_ts or left_ts
     payload = [c for c in right.columns if c not in keys and c != right_ts]
-    overlap = set(payload) & set(left.columns)
-    if overlap and not right_prefix:
+    overlap = {f"{right_prefix}{c}" for c in payload} & set(left.columns)
+    if overlap:
         raise ValueError(f"right payload columns collide with left: {sorted(overlap)}")
 
     lt = left.withColumn(_TS, F.col(left_ts)).withColumn(_SIDE, F.lit(1))
@@ -100,23 +102,31 @@ def asof_join(
     matched_ts = f"{right_prefix}matched_ts"
     if matched_ts in left.columns:
         raise ValueError(f"left already has a {matched_ts!r} column")
-    # carry into temp names (the unioned frame still holds the right
-    # payload columns — null on left rows — under their final names)
-    carried = [
-        F.last(F.col(f"{right_prefix}{c}"), ignorenulls=True).over(w).alias(f"_c_{c}")
-        for c in payload
-    ]
-    carry_ts = F.last(
-        F.when(F.col(_SIDE) == 0, F.col(_TS)), ignorenulls=True
-    ).over(w).alias(matched_ts)
+    # Carry ONE struct per right row (not per-column last(ignorenulls)):
+    # when the true as-of match holds a NULL payload value, per-column
+    # carries would reach past it to an older right row and stitch
+    # columns from different rows together. The struct is null exactly on
+    # left rows, so ignorenulls skips only rows, never values.
+    carry = F.last(
+        F.when(
+            F.col(_SIDE) == 0,
+            F.struct(
+                F.col(_TS).alias("_mts"),
+                *[F.col(f"{right_prefix}{c}").alias(f"p{i}") for i, c in enumerate(payload)],
+            ),
+        ),
+        ignorenulls=True,
+    ).over(w).alias("_c_row")
 
     out = (
-        u.select("*", carry_ts, *carried)
+        u.select("*", carry)
         .filter(F.col(_SIDE) == 1)
         .drop(*[f"{right_prefix}{c}" for c in payload])
+        .withColumn(matched_ts, F.col("_c_row._mts"))
     )
-    for c in payload:
-        out = out.withColumnRenamed(f"_c_{c}", f"{right_prefix}{c}")
+    for i, c in enumerate(payload):
+        out = out.withColumn(f"{right_prefix}{c}", F.col(f"_c_row.p{i}"))
+    out = out.drop("_c_row")
     if tolerance is not None:
         tol = tolerance if isinstance(tolerance, Column) else F.lit(tolerance)
         # timestamps subtract to an interval; go through epoch-second math

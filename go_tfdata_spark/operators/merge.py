@@ -140,7 +140,13 @@ def table_changes(
     if m.parent is None:
         cur, prev = table.read(v), None
     else:
-        pm = table.snapshot(m.parent)
+        try:
+            pm = table.snapshot(m.parent)
+        except FileNotFoundError:
+            raise KeyError(
+                f"parent snapshot of epoch {epoch} (version {m.parent}) "
+                "vacuumed past; change feed requires both snapshots retained"
+            ) from None
         touched = _touched_buckets(pm, m) if prune_buckets else None
         if touched is not None:
             cur = table.read_buckets(sorted(touched), version=v)
@@ -152,23 +158,28 @@ def table_changes(
     if prev is None:
         out = cur.filter(~c_del).withColumn("_change_type", F.lit("insert"))
         return out.drop(*META_COLUMNS)
+    # Winner identity is the FULL LWW order tuple (ts, _lsn, _src_part),
+    # compared null-safely: lsn alone is null-unsafe (NULL != NULL is NULL,
+    # silently dropping the change row) and ambiguous when per-source LSN
+    # sequences reuse values across src_parts.
+    ord_cols = ["ts", "_lsn", "_src_part"]
     p = prev.select(
         *key_cols,
-        F.col("_lsn").alias("_p_lsn"),
+        F.struct(*[F.col(c) for c in ord_cols]).alias("_p_ord"),
         F.lit(True).alias("_p_exists"),
     )
     j = cur.join(p, key_cols, "left")
     p_live = F.coalesce(F.col("_p_exists"), F.lit(False))
+    same_winner = F.struct(*[F.col(c) for c in ord_cols]).eqNullSafe(F.col("_p_ord"))
     change = (
         F.when(~c_del & ~p_live, F.lit("insert"))
-        .when(~c_del & p_live & (F.col("_lsn") != F.col("_p_lsn")),
-              F.lit("update_postimage"))
+        .when(~c_del & p_live & ~same_winner, F.lit("update_postimage"))
         .when(c_del & p_live, F.lit("delete"))
     )
     return (
         j.withColumn("_change_type", change)
         .filter(F.col("_change_type").isNotNull())
-        .drop("_p_lsn", "_p_exists", *META_COLUMNS)
+        .drop("_p_ord", "_p_exists", *META_COLUMNS)
     )
 
 

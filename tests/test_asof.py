@@ -86,6 +86,30 @@ def test_determinism_contract_and_collisions(spark, frames):
     assert "r_event_id" in ok.columns
 
 
+def test_null_payload_does_not_mix_rows(spark):
+    """The carried right row is ONE struct: a NULL payload value in the
+    true as-of match must come through as NULL, not be backfilled from an
+    older right row (per-column last(ignorenulls) regression)."""
+    left = spark.createDataFrame([(1, "a", 30)], "event_id long, k string, t long")
+    right = spark.createDataFrame(
+        [("a", 10, 5.0, "x"), ("a", 20, None, "y")],
+        "k string, t long, val double, tag string",
+    )
+    row = asof_join(left, right, on="k", left_ts="t", unique_right=True).collect()[0]
+    assert row["matched_ts"] == 20 and row["tag"] == "y"
+    assert row["val"] is None  # NOT 5.0 from the t=10 row
+
+
+def test_prefixed_collision_detected(spark, frames):
+    """Prefix collisions are validated too: right payload 'val' with
+    prefix 'r_' against a left column literally named 'r_val'."""
+    left, right = frames
+    left2 = left.withColumn("r_val", F.lit(0.0))
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left2, right, on="k", left_ts="t", unique_right=True,
+                  right_prefix="r_")
+
+
 def test_single_shuffle_plan(spark, frames):
     """The whole point vs join+argmax: ONE hash exchange on the key, no
     range blow-up, no broadcast — survives 100x on either side."""

@@ -112,6 +112,63 @@ def test_bucket_pruning_scans_fewer_files_same_answer(spark, tmp_path):
     assert len(pruned.inputFiles()) < len(full.inputFiles())
 
 
+def _tiny_table(spark, tmp_path, rows_by_epoch):
+    """Build a table from hand-written change rows: list of per-epoch lists
+    of (conv_id, turn_idx, text, ts_offset_sec, lsn, src_part, op)."""
+    from go_tfdata_spark.operators.merge import apply_changes
+
+    table = create_transcripts_table(
+        spark, str(tmp_path / "t"), TRANSCRIPTS_SCHEMA, num_buckets=2
+    )
+    for epoch, rows in enumerate(rows_by_epoch):
+        df = spark.createDataFrame(
+            [(c, t, "user", txt, None, off, lsn, sp, op, epoch)
+             for (c, t, txt, off, lsn, sp, op) in rows],
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, off long, lsn long, src_part int, op string, epoch int",
+        ).withColumn(
+            "ts", F.to_timestamp(F.lit("2024-01-01 00:00:00")) + F.make_interval(secs=F.col("off"))
+        ).drop("off")
+        apply_changes(table, df, job_id="cdf", epoch=epoch)
+    return table
+
+
+def test_update_detected_when_lsn_value_reused_across_src_parts(spark, tmp_path):
+    """Per-source LSN sequences can reuse the same lsn value: a new winner
+    with identical lsn but later (ts, src_part) is a real update, not a
+    no-change (winner identity = full order tuple, not lsn alone)."""
+    table = _tiny_table(spark, tmp_path, [
+        [("c1", 0, "old", 0, 7, 0, "U")],
+        [("c1", 0, "new", 60, 7, 1, "U")],  # same lsn=7, later ts -> wins
+    ])
+    feed = table_changes(table, "cdf", 1).collect()
+    assert [(r["_change_type"], r["text"]) for r in feed] == [("update_postimage", "new")]
+
+
+def test_update_detected_with_null_lsn(spark, tmp_path):
+    """NULL lsn on either side must not NULL out the compare and drop the
+    change row (null-safe full-tuple compare)."""
+    table = _tiny_table(spark, tmp_path, [
+        [("c1", 0, "old", 0, None, 0, "U")],
+        [("c1", 0, "new", 60, None, 0, "U")],
+    ])
+    feed = table_changes(table, "cdf", 1).collect()
+    assert [(r["_change_type"], r["text"]) for r in feed] == [("update_postimage", "new")]
+
+
+def test_vacuumed_parent_raises_keyerror(spark, tmp_path):
+    """Feed for an epoch whose PARENT snapshot was vacuumed raises the
+    documented KeyError travel-window signal, not FileNotFoundError."""
+    table = _tiny_table(spark, tmp_path, [
+        [("c1", 0, "a", 0, 1, 0, "U")],
+        [("c1", 0, "b", 60, 2, 0, "U")],
+        [("c1", 0, "c", 120, 3, 0, "U")],
+    ])
+    table.vacuum(keep_versions=1, orphan_grace_sec=0.0)
+    with pytest.raises(KeyError):
+        table_changes(table, "cdf", 2)
+
+
 def test_epoch0_is_all_inserts(replayed):
     table, _ = replayed
     types = (
