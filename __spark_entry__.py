@@ -32,10 +32,12 @@ from go_tfdata_spark.functions.vectors import cosine_similarity  # noqa: E402
 from go_tfdata_spark.operators.dedup import (  # noqa: E402
     _MERSENNE,
     _minhash_params,
+    cluster_dups,
     minhash_near_dups,
     minhash_signatures,
     shingle_jaccard_pairs,
     simhash,
+    simhash_near_dups,
 )
 from go_tfdata_spark.operators.lww import lww_latest, lww_latest_window  # noqa: E402
 from go_tfdata_spark.operators.sampling import _hex_threshold  # noqa: E402
@@ -225,12 +227,18 @@ def _q_filtered_revenue(spark, sf):
 
 
 def _q_revenue_by_nation(spark, sf):
-    """Broadcast-join pattern: orders ⋈ customer ⋈ nation (dims broadcast)."""
+    """Join pattern: orders ⋈ customer ⋈ nation. Only `nation` (25 rows at
+    every SF) gets an unconditional broadcast hint; `customer` is O(corpus)
+    — the hint would be honored unconditionally (AQE never demotes it) and
+    OOM the driver at 100x scale, so its strategy goes through
+    `gate_broadcast` (size-gated hint, else AQE decides)."""
+    from go_tfdata_spark.lake.table import gate_broadcast
+
     o = _t(spark, sf, "orders")
     c = _t(spark, sf, "customer")
     n = _t(spark, sf, "nation")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(gate_broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(
@@ -311,6 +319,25 @@ def _q_minhash_near_dups(spark, sf):
 def _q_simhash(spark, sf):
     docs = _t(spark, sf, "documents")
     return simhash(docs, "doc_id", "text", bits=32)
+
+
+def _q_simhash_near_dups(spark, sf):
+    """SimHash pairing: band-rotation candidates (pigeonhole over
+    max_hamming+1 bands — complete, so the banded plan must EQUAL the
+    oracle's brute-force all-pairs hamming filter)."""
+    docs = _t(spark, sf, "documents")
+    return simhash_near_dups(docs, "doc_id", "text", bits=32, max_hamming=2)
+
+
+def _q_dedup_clusters(spark, sf):
+    """Transitive near-dup resolution: MinHash-LSH pairs -> connected
+    components (pointer-jumped min-label propagation) -> canonical doc per
+    cluster. Oracle: identical pair generation + a recursive CTE."""
+    docs = _t(spark, sf, "documents")
+    pairs = minhash_near_dups(
+        docs, "doc_id", "text", num_hashes=16, bands=4, n=3, threshold=0.125
+    )
+    return cluster_dups(pairs)
 
 
 def _q_ann_topk(spark, sf):
@@ -615,6 +642,36 @@ def _q_table_changes(spark, sf):
     feed = table_changes(table, "cdf", epoch=1)
     return feed.select(
         "conv_id", "turn_idx", "_change_type", _ts_micros(feed).alias("ts_us")
+    )
+
+
+def _q_table_changes_range(spark, sf):
+    """Epoch-RANGE change feed (the catch-up read): replay 2 epochs, then
+    emit the whole feed [0, 1] — per-epoch diffs unioned lazily, each row
+    tagged _commit_epoch. The oracle restates epoch 0 as the from-empty
+    insert set (live fold winners at epoch<=0) and epoch 1 as the
+    two-fold classification across the range."""
+    import shutil
+
+    from go_tfdata_spark.model import TRANSCRIPTS_SCHEMA
+    from go_tfdata_spark.operators.merge import (
+        _ts_micros,
+        create_transcripts_table,
+        replay,
+        table_changes_range,
+    )
+
+    changes = _changes_utc(_events_as_changes(_t(spark, sf, "events")))
+    base = os.path.join(tempfile.gettempdir(), f"go_tfdata_spark_cdfr_{os.getpid()}")
+    shutil.rmtree(base, ignore_errors=True)
+    table = create_transcripts_table(
+        spark, os.path.join(base, "t"), TRANSCRIPTS_SCHEMA, num_buckets=8
+    )
+    replay(table, changes, job_id="cdfr")
+    feed = table_changes_range(table, "cdfr", 0, 1)
+    return feed.select(
+        "conv_id", "turn_idx", "_change_type", "_commit_epoch",
+        _ts_micros(feed).alias("ts_us"),
     )
 
 
@@ -1069,11 +1126,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": _q_minhash_signatures,
         "minhash_near_dups": _q_minhash_near_dups,
         "simhash": _q_simhash,
+        "simhash_near_dups": _q_simhash_near_dups,
+        "dedup_clusters": _q_dedup_clusters,
         "ann_topk": _q_ann_topk,
         "embedding_near_dups": _q_embedding_near_dups,
         "lineage_metrics": _q_lineage_metrics,
         "time_travel": _q_time_travel,
         "table_changes": _q_table_changes,
+        "table_changes_range": _q_table_changes_range,
         "stratified_sample": _q_stratified_sample,
         "split_assign": _q_split_assign,
         "gif_roundtrip": _q_gif_roundtrip,
@@ -1312,6 +1372,33 @@ def oracle_sql() -> dict[str, str]:
           hx AS (SELECT doc_id, {_ROLL('w', 2**32)} AS h FROM tok)
           SELECT doc_id, ({simhash_bits})::BIGINT AS simhash FROM hx GROUP BY doc_id
         """,
+        # Brute-force all-pairs hamming filter: the banded Spark plan is
+        # candidate-COMPLETE (pigeonhole), so the sets must be identical.
+        "simhash_near_dups": f"""
+          WITH tok AS (SELECT doc_id, unnest({_TOKENS}) AS w FROM documents),
+          hx AS (SELECT doc_id, {_ROLL('w', 2**32)} AS h FROM tok),
+          sh AS (SELECT doc_id, ({simhash_bits})::BIGINT AS simhash FROM hx GROUP BY doc_id)
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 bit_count(xor(a.simhash, b.simhash)) AS hamming
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+        """,
+        "dedup_clusters": f"""
+          WITH RECURSIVE sigs AS ({minhash_sig}),
+          pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND ({band_eq})
+            WHERE {sig_agree} >= 0.125),
+          edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                    UNION SELECT id_b, id_a FROM pairs),
+          reach(node, r) AS (
+            SELECT u, u FROM edges
+            UNION
+            SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.node)
+          SELECT node AS doc_id, min(r) AS cluster_id,
+                 (node = min(r)) AS is_canonical
+          FROM reach GROUP BY node
+        """,
         "ann_topk": """
           SELECT vec_id, round(c, 4) AS cos FROM (
             SELECT e.vec_id,
@@ -1410,7 +1497,10 @@ def oracle_sql() -> dict[str, str]:
                    CASE
                      WHEN w1.op <> 'D' AND (w0.conv_id IS NULL OR w0.op = 'D')
                        THEN 'insert'
-                     WHEN w1.op <> 'D' AND w0.op <> 'D' AND w1.lsn <> w0.lsn
+                     WHEN w1.op <> 'D' AND w0.op <> 'D'
+                          AND (w1.ts IS DISTINCT FROM w0.ts
+                               OR w1.lsn IS DISTINCT FROM w0.lsn
+                               OR w1.src_part IS DISTINCT FROM w0.src_part)
                        THEN 'update_postimage'
                      WHEN w1.op = 'D' AND w0.conv_id IS NOT NULL AND w0.op <> 'D'
                        THEN 'delete'
@@ -1419,6 +1509,50 @@ def oracle_sql() -> dict[str, str]:
               ON w1.conv_id = w0.conv_id AND w1.turn_idx = w0.turn_idx
           )
           SELECT conv_id, turn_idx, _change_type, ts_us
+          FROM d WHERE _change_type IS NOT NULL
+        """,
+        "table_changes_range": """
+          WITH ch AS (
+            SELECT CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+                   event_id AS lsn, ts,
+                   'u' || user_id::VARCHAR AS conv_id,
+                   (event_id % 8)::INT AS turn_idx,
+                   (event_id % 2)::INT AS epoch,
+                   (user_id % 4)::INT AS src_part
+            FROM events
+          ), w1 AS (
+            SELECT * FROM (
+              SELECT ch.*, row_number() OVER (
+                PARTITION BY conv_id, turn_idx
+                ORDER BY ts DESC, lsn DESC, src_part DESC) rn
+              FROM ch WHERE epoch <= 1) WHERE rn = 1
+          ), w0 AS (
+            SELECT * FROM (
+              SELECT ch.*, row_number() OVER (
+                PARTITION BY conv_id, turn_idx
+                ORDER BY ts DESC, lsn DESC, src_part DESC) rn
+              FROM ch WHERE epoch <= 0) WHERE rn = 1
+          ), d AS (
+            SELECT w1.conv_id, w1.turn_idx, epoch_us(w1.ts) AS ts_us,
+                   CASE
+                     WHEN w1.op <> 'D' AND (w0.conv_id IS NULL OR w0.op = 'D')
+                       THEN 'insert'
+                     WHEN w1.op <> 'D' AND w0.op <> 'D'
+                          AND (w1.ts IS DISTINCT FROM w0.ts
+                               OR w1.lsn IS DISTINCT FROM w0.lsn
+                               OR w1.src_part IS DISTINCT FROM w0.src_part)
+                       THEN 'update_postimage'
+                     WHEN w1.op = 'D' AND w0.conv_id IS NOT NULL AND w0.op <> 'D'
+                       THEN 'delete'
+                   END AS _change_type
+            FROM w1 LEFT JOIN w0
+              ON w1.conv_id = w0.conv_id AND w1.turn_idx = w0.turn_idx
+          )
+          SELECT conv_id, turn_idx, 'insert' AS _change_type,
+                 0::BIGINT AS _commit_epoch, epoch_us(ts) AS ts_us
+          FROM w0 WHERE op <> 'D'
+          UNION ALL
+          SELECT conv_id, turn_idx, _change_type, 1::BIGINT, ts_us
           FROM d WHERE _change_type IS NOT NULL
         """,
         # stratified_sample / split_assign: the md5-threshold cut restated

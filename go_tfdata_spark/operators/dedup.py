@@ -8,8 +8,12 @@ near-dup — each designed for the 100 TB shape:
   on shingle (only docs sharing at least one shingle ever meet);
 - MinHash+LSH buckets by band signature so candidate generation is a
   groupBy, not a join of everything with everything;
-- SimHash reduces each doc to one 32-bit key; near-dup candidates share a
-  band of the key;
+- SimHash reduces each doc to one `bits`-bit key; near-dup candidates
+  share at least one rotation band of the key (pigeonhole over
+  max_hamming+1 bands), verified with bit_count on the XOR;
+- candidate PAIRS resolve to transitive CLUSTERS (connected components by
+  pointer-jumped min-label propagation) with one canonical doc kept per
+  cluster;
 - embedding near-dup offers brute-force (baseline, quadratic) and a
   random-hyperplane-bucketed variant (the scale path).
 
@@ -145,7 +149,7 @@ def shingle_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = 10_000,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard similarity for all document pairs sharing
     >=1 shingle, filtered to jaccard >= threshold, id_a < id_b.
@@ -160,7 +164,11 @@ def shingle_jaccard_pairs(
     pairs. Capping document frequency bounds the per-shingle group size;
     Jaccard is then computed on the capped shingle universe (both the
     intersection AND the set sizes, so the statistic stays internally
-    consistent — standard stop-shingle pruning)."""
+    consistent — standard stop-shingle pruning). The default (10_000) is
+    finite ON PURPOSE — mirroring the required-`dim`/`sig_len` convention,
+    a default invocation can never plan an unbounded d^2 shingle join; pass
+    `max_doc_freq=None` to explicitly opt into the uncapped exact
+    statistic on corpora known to be small."""
     sh = _ensure_parallelism(df, id_col).select(
         F.col(id_col).alias("doc"),
         F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias("sh"),
@@ -336,6 +344,164 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     for i in range(bits):
         acc = acc + F.when(F.col(f"b{i}") > 0, F.lit(2**i).cast("long")).otherwise(0)
     return votes.select(id_col, acc.alias("simhash"))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 32,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: documents whose fingerprints differ in at
+    most `max_hamming` bit positions, id_a < id_b. Output:
+    (id_a, id_b, hamming).
+
+    Candidate generation is band rotation (pigeonhole): split the
+    `bits`-bit key into `max_hamming + 1` contiguous bands — two keys
+    within hamming distance k MUST agree exactly on at least one band, so
+    candidates are pairs equal on some (band_idx, band_value). That keeps
+    candidate generation a groupBy (linear in the corpus, like the MinHash
+    banding above), never an all-pairs join; exact hamming is then
+    verified with bit_count(a XOR b) on the candidates only.
+
+    Scale note: a band carries bits/(k+1) bits of key (8 bits at the
+    32/3 default), so band-bucket sizes are corpus/256 in the worst case —
+    use bits=64 (rolling-hash mod 2^64 wraps a long) for billion-doc
+    corpora to keep buckets bounded."""
+    if not 0 <= max_hamming < bits:
+        raise ValueError(f"max_hamming must be in [0, {bits}), got {max_hamming}")
+    fps = _take_cache(simhash(df, id_col, text_col, bits))
+    nbands = max_hamming + 1
+    w = bits // nbands
+    # contiguous bands; the last band absorbs the remainder bits
+    widths = [w] * (nbands - 1) + [bits - w * (nbands - 1)]
+    offs = [w * i for i in range(nbands)]
+    banded = fps.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("simhash"), offs[i])
+                        .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                        .alias("bv"),
+                    )
+                    for i in range(nbands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "bb.band", "bb.bv")
+    cands = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bv"])
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+    )
+    a = fps.withColumnsRenamed({id_col: "id_a", "simhash": "sh_a"})
+    b = fps.withColumnsRenamed({id_col: "id_b", "simhash": "sh_b"})
+    return (
+        cands.join(a, "id_a").join(b, "id_b")
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def cluster_dups(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 30,
+) -> DataFrame:
+    """Resolve candidate PAIRS into transitive near-dup CLUSTERS:
+    connected components over the pair graph, cluster_id = smallest doc id
+    in the component. Output: (doc_id, cluster_id, is_canonical) — one row
+    per doc that appears in >=1 pair; is_canonical marks the kept
+    representative (the smallest id). The same "group then collapse" shape
+    as the reference's keyed assembly fold (archive/manager.go:57-63),
+    applied to the dup graph instead of archive members.
+
+    Algorithm: distributed min-label propagation with POINTER JUMPING —
+    each round every node takes the min label over {self} ∪ neighbor
+    labels ∪ its label's OWN label (path halving), so convergence is
+    O(log diameter) rounds, not O(diameter); near-dup components are
+    shallow but adversarial chains (A~B~C~...) stay cheap anyway. Each
+    round is two shuffles keyed by node id; lineage is truncated per round
+    (localCheckpoint) so the plan does not grow with iterations. The
+    fixpoint test piggybacks on the round's own aggregate — one job per
+    round, no separate count pass."""
+    e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    edges = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.groupBy(F.col("u").alias("node"))
+        .agg(F.min("v").alias("nmin"))
+        .select("node", F.least("node", "nmin").alias("lbl"))
+        .localCheckpoint()
+    )
+    try:
+        for _ in range(max_iters):
+            nbr = (
+                edges.join(labels.withColumnsRenamed({"node": "u", "lbl": "ulbl"}), "u")
+                .groupBy(F.col("v").alias("node"))
+                .agg(F.min("ulbl").alias("nlbl"))
+            )
+            # pointer jump: my label's current label (labels is a function,
+            # one row per node, so this join cannot fan out)
+            jump = labels.select(F.col("node").alias("lbl"), F.col("lbl").alias("jlbl"))
+            new = (
+                labels.join(nbr, "node", "left")
+                .join(jump, "lbl", "left")
+                .select(
+                    "node",
+                    F.col("lbl").alias("_old"),
+                    F.least(
+                        "lbl",
+                        F.coalesce("nlbl", "lbl"),
+                        F.coalesce("jlbl", "lbl"),
+                    ).alias("lbl"),
+                )
+                .localCheckpoint()
+            )
+            changed = new.filter(F.col("lbl") != F.col("_old")).limit(1).count()
+            labels = new.drop("_old")
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"cluster_dups did not converge in {max_iters} rounds — "
+                "pathological component diameter; raise max_iters"
+            )
+    finally:
+        edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("lbl").alias("cluster_id"),
+        (F.col("node") == F.col("lbl")).alias("is_canonical"),
+    )
+
+
+def dedup_by_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Corpus-level dedup: resolve `pairs` to clusters and keep ONE
+    representative per cluster (the smallest id) plus every doc that
+    appears in no pair. Same columns as `df`."""
+    clusters = cluster_dups(pairs, id_a, id_b)
+    drop = clusters.filter(~F.col("is_canonical")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")
 
 
 def hyperplane_matrix(hyperplanes: int, dim: int, seed: int = 7):

@@ -183,6 +183,38 @@ def table_changes(
     )
 
 
+def table_changes_range(
+    table: LakeTable,
+    job_id: str,
+    from_epoch: int,
+    to_epoch: int,
+    key_cols: list[str] = list(KEY_COLUMNS),
+    prune_buckets: bool = True,
+) -> DataFrame:
+    """Change feed over an EPOCH RANGE [from_epoch, to_epoch], inclusive:
+    one bucket-pruned per-epoch diff per step, unioned LAZILY, each row
+    tagged `_commit_epoch`. This is the catch-up read a downstream
+    materialization does after falling N epochs behind — applying the rows
+    in `_commit_epoch` order (deletes drop, others upsert) reproduces
+    snapshot `to_epoch` exactly from snapshot `from_epoch - 1`.
+
+    Cost: each step reads only the buckets its commit touched (immutable
+    data files -> file-set diff prunes), and nothing executes until the
+    consumer acts on the unioned plan — Spark runs the per-epoch scans as
+    independent stages of ONE job, not N sequential jobs. Raises KeyError
+    (like `table_changes`) when any epoch in the range, or the parent of
+    `from_epoch`, has been vacuumed past."""
+    if to_epoch < from_epoch:
+        raise ValueError(f"empty epoch range [{from_epoch}, {to_epoch}]")
+    out = None
+    for e in range(from_epoch, to_epoch + 1):
+        d = table_changes(table, job_id, e, key_cols, prune_buckets).withColumn(
+            "_commit_epoch", F.lit(e).cast("long")
+        )
+        out = d if out is None else out.unionByName(d)
+    return out
+
+
 def validate_changes(
     changes: DataFrame,
     key_cols: list[str] = list(KEY_COLUMNS),
