@@ -266,6 +266,17 @@ def _q_token_count(spark, sf):
     return docs.select("doc_id", token_count(F.col("text")).cast("bigint").alias("n_tokens"))
 
 
+def _q_bpe_token_count(spark, sf):
+    """Tokenizer-aware token counts: BPE over the checked-in merges table
+    (functions/bpe.py), vectorized pandas UDF with per-batch word memo.
+    Oracle: recursive CTE applying the IDENTICAL leftmost-lowest-rank
+    reduction over the same inlined merges table."""
+    from go_tfdata_spark.functions.bpe import bpe_token_count
+
+    docs = _t(spark, sf, "documents")
+    return docs.select("doc_id", bpe_token_count(F.col("text")).alias("bpe_tokens"))
+
+
 def _q_lang_id(spark, sf):
     docs = _t(spark, sf, "documents")
     return docs.select("doc_id", lang_id(F.col("text")).alias("pred_lang"))
@@ -1118,6 +1129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_by_nation": _q_revenue_by_nation,
         "turn_order_repair": _q_turn_order_repair,
         "token_count": _q_token_count,
+        "bpe_token_count": _q_bpe_token_count,
         "lang_id": _q_lang_id,
         "quality_score": _q_quality_score,
         "fingerprint": _q_fingerprint,
@@ -1213,6 +1225,9 @@ def _lang_scores_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from go_tfdata_spark.functions.bpe import merges_values_sql
+
+    _bpe_merges_values = merges_values_sql()
     en_sw = ", ".join(f"'{w}'" for w in
                       ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"])
     sw_ratio = (
@@ -1324,6 +1339,38 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_count": f"""
           SELECT doc_id, ({ntok})::BIGINT AS n_tokens FROM documents
+        """,
+        "bpe_token_count": f"""
+          WITH RECURSIVE merges(rank, a, b) AS (
+            SELECT * FROM (VALUES {_bpe_merges_values}) v),
+          words AS (
+            SELECT doc_id, w, count(*) AS n
+            FROM (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS w FROM documents)
+            WHERE w <> '' GROUP BY doc_id, w
+          ),
+          uniq AS (SELECT DISTINCT w FROM words),
+          enc(w, syms) AS (
+            SELECT w, regexp_extract_all(w, '[\\s\\S]') FROM uniq
+            UNION ALL
+            SELECT e.w,
+              list_concat(list_concat(
+                list_slice(e.syms, 1, list_position(e.pairs, m.a || chr(1) || m.b) - 1),
+                [m.a || m.b]),
+                list_slice(e.syms, list_position(e.pairs, m.a || chr(1) || m.b) + 2, len(e.syms)))
+            FROM (SELECT w, syms, pairs,
+                         (SELECT min(m2.rank) FROM merges m2
+                           WHERE list_contains(pairs, m2.a || chr(1) || m2.b)) AS br
+                  FROM (SELECT w, syms,
+                               list_transform(range(1, len(syms)),
+                                              j -> syms[j] || chr(1) || syms[j+1]) AS pairs
+                        FROM enc)) e
+            JOIN merges m ON m.rank = e.br
+          ),
+          counts AS (SELECT w, min(len(syms)) AS k FROM enc GROUP BY w),
+          per_doc AS (SELECT words.doc_id, sum(words.n * counts.k) AS s
+                      FROM words JOIN counts USING (w) GROUP BY words.doc_id)
+          SELECT d.doc_id, coalesce(per_doc.s, 0)::BIGINT AS bpe_tokens
+          FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
         """,
         "lang_id": f"""
           SELECT doc_id,

@@ -313,7 +313,9 @@ class LakeTable:
 
         The manifest's own (job_id, epoch) summary is folded into its
         cumulative ledger here, so ledger maintenance and the data commit
-        are one atomic write — the exactly-once invariant (CLAUDE.md)."""
+        are one atomic write — the invariant exactly-once depends on: a
+        ledger that could land without its data (or vice versa) would
+        let a retried epoch double-apply or silently skip."""
         s = m.summary or {}
         if s.get("job_id") is not None and "epoch" in s:
             m.ledger = _ledger_add(m.ledger or {}, s["job_id"], int(s["epoch"]))
