@@ -748,10 +748,12 @@ class LakeTable:
         if all("split" in f for f in tentries):
             n_parts = m.num_buckets * splits
             pmap = fold_partition_map(self.spark, n_parts)
-            tfiles: dict[int, list[str]] = {}
+            tfiles: dict[int, list] = {}
             for f in tentries:
                 p = pmap[f["bucket"] * splits + f["split"]]
-                tfiles.setdefault(p, []).append(os.path.join(self.path, f["path"]))
+                tfiles.setdefault(p, []).append(
+                    (os.path.join(self.path, f["path"]), f["bucket"], f["split"])
+                )
             local_kwargs = {
                 "target_files": tfiles,
                 "stream_batch": lineage_acc is not None,
@@ -764,6 +766,13 @@ class LakeTable:
                 target = target.withColumn(flag, F.lit(False))
                 src = src.withColumn(flag, F.lit(True))
             fold_input = target.unionByName(src)
+        # Write-in-fold: the fold tasks write their winner rows as the
+        # table's (bucket, split) files directly from the Python workers
+        # and return only manifest entries — the winner payload never
+        # crosses back into the JVM (see aligned_lww_fold).
+        commit_dir = os.path.join(_DATA_DIR, uuid.uuid4().hex)
+        abs_dir = os.path.join(self.path, commit_dir)
+        os.makedirs(abs_dir, exist_ok=True)
         merged = aligned_lww_fold(
             fold_input,
             key_cols=key_cols,
@@ -773,9 +782,19 @@ class LakeTable:
             splits=splits,
             batch_flag_col=flag,
             lineage_acc=lineage_acc,
+            write_dir=abs_dir,
+            parquet_codec=self.spark.conf.get(
+                "spark.sql.parquet.compression.codec", "snappy"
+            ),
             **local_kwargs,
         )
-        m.files = untouched + self._write_data(merged, m, presharded=True)
+        written = sorted(
+            (os.path.relpath(r["path"], self.path), int(r["bucket"]), int(r["split"]))
+            for r in merged.collect()
+        )
+        m.files = untouched + [
+            {"path": p, "bucket": b, "split": s} for p, b, s in written
+        ]
         m.summary["affected_buckets"] = sorted(affected)
         m.summary["merge_strategy"] = "aligned"
         if finalize is not None:

@@ -142,8 +142,10 @@ def aligned_lww_fold(
     all_batch: bool = False,
     src_part_col: str = "_src_part",
     deleted_col: str = "_deleted",
-    target_files: dict[int, list[str]] | None = None,
+    target_files: dict[int, list] | None = None,
     stream_batch: bool = False,
+    write_dir: str | None = None,
+    parquet_codec: str = "snappy",
 ) -> DataFrame:
     """One winner row per key, output partitioned by (bucket, split).
 
@@ -172,8 +174,8 @@ def aligned_lww_fold(
     maintaining a second slim fold whose input equals the main fold's —
     no flag column, no duplicated sort/group work per task.
 
-    `target_files` ({partition index: [parquet paths]}) is the
-    TARGET-LOCAL merge: carried target rows are not unioned/shuffled at
+    `target_files` ({partition index: [(parquet path, bucket, split)]}) is
+    the TARGET-LOCAL merge: carried target rows are not unioned/shuffled at
     all — each fold task reads the files whose (bucket, split) hashes to
     its own partition straight from storage (pyarrow, inside the Python
     worker that folds them). Table files hold exactly one (bucket, split)
@@ -182,28 +184,74 @@ def aligned_lww_fold(
     mapping comes from `fold_partition_map`. With it, `stream_batch=True`
     marks every SHUFFLED row as a change-batch row for the lineage fold
     (no flag column needed — target rows arrive only via local reads).
+
+    `write_dir` is the WRITE-IN-FOLD mode: instead of streaming the winner
+    rows back through Arrow IPC -> JVM rows -> Spark's parquet writer,
+    each fold task writes its own winners as parquet straight from the
+    Python worker (pyarrow, `_bucket=B/_split=S/` layout, `parquet_codec`)
+    and yields only the manifest entries (path, bucket, split, nrows).
+    The winner payload crosses a process boundary ZERO more times after
+    the shuffle — measured at 30M x 256-char events, the Python->JVM
+    return IPC + JVM row conversion + JVM parquet encode it removes was
+    ~30% of the fold stage. Rows know their (bucket, split) without any
+    Python-side hashing: shuffled rows carry them as two small ints
+    computed by the same JVM exprs that define the layout; locally-read
+    target files get them as constants from their manifest entry.
     """
     import pyarrow as pa
 
     from go_tfdata_spark.lake.table import bucket_expr, split_expr
 
     keep_bucket = bucket_col is not None
+    if keep_bucket and write_dir is not None:
+        raise ValueError("write_dir mode emits manifest entries; bucket_col "
+                         "has no output column to land in")
     bcol = bucket_col or "_fold_bucket"
-    work = df.withColumn(bcol, bucket_expr(bucket_by, num_buckets))
+    scol = "_fold_split"
+    while scol in df.columns:
+        scol = "_" + scol
+    # Materialize layout coordinates in the shuffled rows ONLY when a
+    # consumer needs them per row (the caller keeps the bucket column, or
+    # write-in-fold partitions files by them); the partitioning itself is
+    # an EXPRESSION passed straight to repartition — routing costs zero
+    # bytes in the row payload.
+    work = df
+    if keep_bucket or write_dir is not None:
+        work = work.withColumn(bcol, bucket_expr(bucket_by, num_buckets).cast("int"))
+    if write_dir is not None:
+        work = work.withColumn(scol, split_expr(bucket_by, splits).cast("int"))
     out_fields = [
         f for f in (work.schema if keep_bucket else df.schema).fields
-        if f.name != batch_flag_col
+        if f.name not in (batch_flag_col, scol)
     ]
     from pyspark.sql.pandas.types import to_arrow_type
-    from pyspark.sql.types import StructType
+    from pyspark.sql.types import StructType, StructField
+    from pyspark.sql import types as T
 
     out_schema = StructType(out_fields)
     pa_schema = pa.schema(
         [pa.field(f.name, to_arrow_type(f.dataType)) for f in out_fields]
     )
+    if write_dir is not None:
+        # the fold's OUTPUT is manifest entries, not data rows
+        out_schema = StructType([
+            StructField("path", T.StringType(), False),
+            StructField("bucket", T.IntegerType(), False),
+            StructField("split", T.IntegerType(), False),
+            StructField("nrows", T.LongType(), False),
+        ])
     cols = [f.name for f in out_fields]
     sort_cols = list(order_cols)
     slim_cols = list(dict.fromkeys([*key_cols, *sort_cols, src_part_col, deleted_col]))
+    bs_cols = [bcol, scol]
+
+    pa_work_schema = pa_schema
+    if write_dir is not None:
+        pa_work_schema = pa.schema(
+            list(pa_schema)
+            + [pa.field(bcol, pa.int32()), pa.field(scol, pa.int32())]
+        )
+    work_cols = cols + (bs_cols if write_dir is not None else [])
 
     def fold(batches):
         from pyspark import TaskContext
@@ -232,8 +280,15 @@ def aligned_lww_fold(
             import pyarrow.parquet as pq
 
             pid0 = TaskContext.get().partitionId()
-            for path in target_files.get(pid0, []):
+            for entry in target_files.get(pid0, []):
+                path, fb, fs = entry if isinstance(entry, tuple) else (entry, None, None)
                 t = _conform_arrow(pq.read_table(path), pa_schema)
+                if write_dir is not None:
+                    # file-constant layout coordinates from the manifest —
+                    # no Python-side re-hashing of the bucket key
+                    t = t.append_column(
+                        bcol, pa.array([fb] * len(t), pa.int32())
+                    ).append_column(scol, pa.array([fs] * len(t), pa.int32()))
                 if len(t):
                     buf.append(t)
                     buf_rows += len(t)
@@ -265,7 +320,7 @@ def aligned_lww_fold(
                 # local-target mode: every shuffled row IS a batch row
                 bbuf.append(t_full.select(slim_cols))
                 bbuf_rows += len(t_full)
-            t = t_full.select(cols)
+            t = t_full.select(work_cols)
             buf.append(t)
             buf_rows += len(t)
             if buf_rows >= max(_SQUASH_FLOOR, 0 if winners is None else len(winners)):
@@ -289,25 +344,69 @@ def aligned_lww_fold(
                 counts[(int(sp), bool(dl))] = int(n)
             pid = TaskContext.get().partitionId()
             lineage_acc.add({pid: counts})
-        if winners is not None and len(winners):
+        if winners is None or not len(winners):
+            return
+        if write_dir is None:
             yield from winners.select(cols).to_batches(max_chunksize=65_536)
+            return
+        # write-in-fold: one parquet file per (bucket, split) present in
+        # this task (usually exactly one — the partitioning unit), written
+        # by THIS worker; emit only the manifest entries.
+        import uuid as _uuid
+
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        pid = TaskContext.get().partitionId()
+        combos = winners.select(bs_cols).group_by(bs_cols, use_threads=False) \
+            .aggregate([])
+        entries_out = []
+        for b, s in zip(combos[bcol].to_pylist(), combos[scol].to_pylist()):
+            mask = pc.and_(
+                pc.equal(winners[bcol], pa.scalar(b, pa.int32())),
+                pc.equal(winners[scol], pa.scalar(s, pa.int32())),
+            )
+            part = winners.filter(mask).select(cols)
+            d = os.path.join(write_dir, f"_bucket={int(b)}", f"_split={int(s)}")
+            os.makedirs(d, exist_ok=True)
+            # attempt-unique name: a retried/speculative twin writes its own
+            # file; only entries yielded by the WINNING attempt reach the
+            # manifest, losers become vacuum-swept orphans
+            fname = f"part-{pid:05d}-{_uuid.uuid4().hex}.parquet"
+            fpath = os.path.join(d, fname)
+            pq.write_table(part, fpath, compression=parquet_codec)
+            entries_out.append((fpath, int(b), int(s), len(part)))
+        if entries_out:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([e[0] for e in entries_out], pa.string()),
+                    pa.array([e[1] for e in entries_out], pa.int32()),
+                    pa.array([e[2] for e in entries_out], pa.int32()),
+                    pa.array([e[3] for e in entries_out], pa.int64()),
+                ],
+                names=["path", "bucket", "split", "nrows"],
+            )
 
     # Partition on ONE long pid = bucket*splits + split (not the (bucket,
     # split) column pair): a single-column HashPartitioning is the form
     # `fold_partition_map` can reproduce driver-side, which is what lets
     # merge_aligned route each target file to the fold task that owns its
     # keys. Still a pure function of the bucket key, so co-location and
-    # skew-splitting are unchanged.
-    pid_col = "_fold_pid"
-    while pid_col in work.columns:
-        pid_col = "_" + pid_col
-    rep = work.withColumn(
-        pid_col,
-        (F.col(bcol).cast("long") * F.lit(splits)
-         + split_expr(bucket_by, splits).cast("long")),
-    ).repartition(num_buckets * splits, F.col(pid_col)).drop(pid_col)
-    if not keep_bucket:
-        rep = rep.drop(bcol)  # partitioning already imposed; column not needed
+    # skew-splitting are unchanged. The pid is passed as an EXPRESSION, so
+    # it is evaluated for routing only and never serialized into the
+    # shuffled rows (16 bytes/row saved vs materialize-then-drop).
+    if keep_bucket or write_dir is not None:
+        pid_expr = F.col(bcol).cast("long") * F.lit(splits)
+        pid_expr = pid_expr + (
+            F.col(scol).cast("long") if write_dir is not None
+            else split_expr(bucket_by, splits).cast("long")
+        )
+    else:
+        pid_expr = (
+            bucket_expr(bucket_by, num_buckets).cast("long") * F.lit(splits)
+            + split_expr(bucket_by, splits).cast("long")
+        )
+    rep = work.repartition(num_buckets * splits, pid_expr)
     return rep.mapInArrow(fold, out_schema)
 
 
