@@ -542,7 +542,13 @@ class LakeTable:
             for f in new_fields:
                 if f.name in existing:
                     continue  # idempotent
-                m.schema = T.StructType(m.schema.fields + [f])
+                # an ADDED column is nullable BY CONSTRUCTION — every row
+                # written before this commit reads NULL for it — even when
+                # the batch expression that introduced it is non-null
+                # (e.g. create_map) and Catalyst typed it nullable=False
+                m.schema = T.StructType(
+                    m.schema.fields + [T.StructField(f.name, f.dataType, True)]
+                )
                 added.append(f.name)
             if not added:
                 return self.snapshot()

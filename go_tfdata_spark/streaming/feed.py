@@ -129,6 +129,8 @@ class _FeedPartition(InputPartition):
     prev_files: list = field(default_factory=list)
     key_cols: tuple = ()
     out_cols: tuple = ()
+    map_cols: tuple = ()  # MapType business columns (arrow -> list of
+    #                       (k, v) pairs in pandas; Spark rows need dicts)
 
 
 def _schema_from_manifest(m: dict) -> tuple[T.StructType, list[str], list[str]]:
@@ -157,8 +159,15 @@ def _fold_bucket(paths: list[str], columns: list[str], key_cols: list[str]):
 
     frames = []
     for p in paths:
-        tbl = pq.read_table(p, columns=columns)
-        frames.append(tbl.to_pandas())
+        # additive schema evolution: files written before a column was
+        # added simply lack it — read what exists, null-fill the rest
+        pf = pq.ParquetFile(p)
+        have = [c for c in columns if c in pf.schema_arrow.names]
+        pdf = pf.read(columns=have).to_pandas()
+        for c in columns:
+            if c not in pdf.columns:
+                pdf[c] = None
+        frames.append(pdf[columns])
     if not frames:
         return pd.DataFrame({c: [] for c in columns})
     df = pd.concat(frames, ignore_index=True)
@@ -179,6 +188,9 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
         if m is None:
             raise FileNotFoundError(f"no lake table at {self.table_path}")
         self._schema, self.business, self.key_cols = _schema_from_manifest(m)
+        self.map_cols = tuple(
+            f.name for f in self._schema.fields if isinstance(f.dataType, T.MapType)
+        )
 
     # ------------------------------------------------------------ offsets
     def initialOffset(self) -> dict:
@@ -226,6 +238,7 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
                     sorted(prev_paths),
                     tuple(self.key_cols),
                     tuple(read_cols),
+                    self.map_cols,
                 ))
                 continue
             for b in sorted(set(cur) | set(prev)):
@@ -234,7 +247,7 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
                     continue  # immutable files: identical set -> no changes
                 parts.append(_FeedPartition(
                     epoch, sorted(cb), sorted(pb),
-                    tuple(self.key_cols), tuple(read_cols),
+                    tuple(self.key_cols), tuple(read_cols), self.map_cols,
                 ))
         return parts
 
@@ -277,11 +290,15 @@ class ChangeFeedStreamReader(DataSourceStreamReader):
         out_cols = [c for c in business if c != _DELETED]
         ts_cols = {c for c in out_cols if pd.api.types.is_datetime64_any_dtype(j[c])}
 
+        map_cols = set(partition.map_cols)
+
         def conv(c, v):
             if v is None or v is pd.NaT or (isinstance(v, float) and np.isnan(v)):
                 return None
             if c in ts_cols:
                 return pd.Timestamp(v).to_pydatetime()
+            if c in map_cols:
+                return dict(v)  # arrow map -> [(k, v), ...] in pandas
             if isinstance(v, np.generic):
                 return v.item()
             return v

@@ -144,6 +144,44 @@ def test_stream_resume_from_checkpoint_no_double_apply(spark, replayed, tmp_path
     assert _apply_feed(out, _snap(table, 2)) == _snap(table, 3)
 
 
+def test_stream_reads_pre_evolution_files(spark, tmp_path):
+    """A stream opened AFTER additive schema evolution must null-fill the
+    new columns when diffing epochs whose files predate them."""
+    from go_tfdata_spark.sources.changes import with_v2_columns
+
+    changes = synthetic_changes(
+        spark, n_events=300, n_epochs=1, delete_frac=0.0, late_frac=0.0, seed=4
+    )
+    table = create_transcripts_table(
+        spark, str(tmp_path / "t"), TRANSCRIPTS_SCHEMA, num_buckets=4
+    )
+    apply_changes(table, changes, job_id="j", epoch=0)
+    v2 = (
+        with_v2_columns(changes)
+        .withColumn("epoch", F.lit(1))
+        .withColumn("lsn", F.col("lsn") + 1_000_000)
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 30 DAYS"))
+    )
+    apply_changes(table, v2, job_id="j", epoch=1)
+
+    q = (
+        read_change_feed_stream(spark, table.path, "j")
+        .writeStream.format("memory").queryName("cdf_evo").outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from cdf_evo").collect()
+    assert "tool_args" in got[0].asDict()
+    by_epoch: dict = {}
+    for r in got:
+        by_epoch.setdefault(r["_commit_epoch"], []).append(r)
+    # epoch-0 rows come from pre-evolution files: new column is NULL
+    assert all(r["tool_args"] is None for r in by_epoch[0])
+    # epoch-1 postimages carry the evolved value where the source had one
+    assert any(r["tool_args"] is not None for r in by_epoch[1])
+    assert _apply_feed(got) == _snap(table, 1)
+
+
 def test_stream_holds_back_non_contiguous_epochs(spark, tmp_path):
     """An out-of-order commit (epoch 2 lands before epoch 1) must NOT
     surface until the gap fills — the contiguous-frontier offset rule."""
