@@ -607,11 +607,13 @@ def main() -> None:
             _gen_logs(32, CDC_EVENTS_SAT)
             sat = run_cdc_scaling(
                 CDC_EVENTS_SAT, 8, 32,
-                # 4 interleaved reps: DRAM-contention windows are invisible
+                # 6 interleaved reps: DRAM-contention windows are invisible
                 # to steal%% (r5 capture: best hi leg 70.3 s at 0.25%% steal
-                # vs 50-52 s known-quiet peak) — an extra rep is the only
-                # defense; early-stop still fires at 0.7 normalized.
-                reps=int(os.environ.get("SPARK_GRAFT_CDC_SAT_REPS", "4")),
+                # vs 50-52 s known-quiet peak) — extra reps are the only
+                # defense (r6 run B: the 0.503-normalized <1%%-steal pair
+                # landed on rep 4 of 6); early-stop still fires at 0.7
+                # normalized, and the budget guard bounds the loop.
+                reps=int(os.environ.get("SPARK_GRAFT_CDC_SAT_REPS", "6")),
                 budget_left=lambda: budget_left() - 300.0,
                 probe_pair=True, target_norm=0.7,
             )

@@ -455,11 +455,12 @@ class LakeTable:
 
     def append_delta(
         self,
-        df: DataFrame,
+        df: DataFrame | None,
         summary: dict | None = None,
         max_retries: int = 20,
         presharded: bool = False,
         finalize=None,
+        entries: list[dict] | None = None,
     ) -> Manifest:
         """Merge-on-read write: append the (already LWW-folded) change batch
         as DELTA files — zero target scan, zero rewrite, write volume
@@ -486,9 +487,12 @@ class LakeTable:
         s = {"operation": "append-delta", **(summary or {})}
         job_id, epoch = s.get("job_id"), s.get("epoch")
         m = self._next_manifest(s)
-        entries = self._write_data(
-            self._conform(df, m.schema), m, presharded=presharded, delta=True
-        )
+        if entries is None:
+            entries = self._write_data(
+                self._conform(df, m.schema), m, presharded=presharded, delta=True
+            )
+        # else: files already on disk (write-in-fold); entries must carry
+        # path/bucket/split and "delta": True — only the manifest commits here
         if finalize is not None:
             finalize(m)  # post-write, pre-publish (accumulator-fed lineage)
             s = dict(m.summary)  # CAS retries re-manifest with the filled summary

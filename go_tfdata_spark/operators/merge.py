@@ -524,10 +524,20 @@ def apply_changes(
         # presharded — one payload shuffle, like the aligned COW path. Every
         # fold input row is a batch row, so lineage counts come straight off
         # the winner table (`all_batch`) — no second slim fold per task.
-        from go_tfdata_spark.lake.table import _WRITE_SPLITS_PER_BUCKET
+        import os as _os
+        import uuid as _uuid
+
+        from go_tfdata_spark.lake.table import _DATA_DIR, _WRITE_SPLITS_PER_BUCKET
         from go_tfdata_spark.operators.arrow_fold import aligned_lww_fold
 
         snap = table.snapshot()
+        # write-in-fold (see aligned_lww_fold): the fold tasks write the
+        # delta files themselves and yield manifest entries; append_delta
+        # then only publishes the manifest (CAS retries republish the SAME
+        # files — no data rewrite, identical zombie/orphan contract)
+        commit_dir = _os.path.join(_DATA_DIR, _uuid.uuid4().hex)
+        abs_dir = _os.path.join(table.path, commit_dir)
+        _os.makedirs(abs_dir, exist_ok=True)
         folded = aligned_lww_fold(
             physical_rows(changes, key_cols),
             key_cols=key_cols,
@@ -537,9 +547,22 @@ def apply_changes(
             splits=_WRITE_SPLITS_PER_BUCKET,
             lineage_acc=acc,
             all_batch=acc is not None,
+            write_dir=abs_dir,
+            parquet_codec=table.spark.conf.get(
+                "spark.sql.parquet.compression.codec", "snappy"
+            ),
         )
-        m = table.append_delta(folded, summary=summary, presharded=True,
-                               finalize=finalize)
+        entries = [
+            {
+                "path": _os.path.relpath(r["path"], table.path),
+                "bucket": int(r["bucket"]),
+                "split": int(r["split"]),
+                "delta": True,
+            }
+            for r in sorted(folded.collect(), key=lambda r: r["path"])
+        ]
+        m = table.append_delta(None, summary=summary, finalize=finalize,
+                               entries=entries)
         if auto_compact_deltas is not None:
             from go_tfdata_spark.lake.table import CommitConflict
 
