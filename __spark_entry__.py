@@ -351,6 +351,19 @@ def _q_dedup_clusters(spark, sf):
     return cluster_dups(pairs)
 
 
+def _q_dedup_corpus(spark, sf):
+    """The full corpus-dedup chain: MinHash-LSH pairs -> transitive
+    clusters -> keep one canonical doc per cluster plus every unpaired
+    doc. Oracle: anti-join against the recursive-CTE non-canonical set."""
+    from go_tfdata_spark.operators.dedup import dedup_by_clusters
+
+    docs = _t(spark, sf, "documents")
+    pairs = minhash_near_dups(
+        docs, "doc_id", "text", num_hashes=16, bands=4, n=3, threshold=0.125
+    )
+    return dedup_by_clusters(docs, pairs, "doc_id").select("doc_id", "lang")
+
+
 def _q_ann_topk(spark, sf):
     emb = _t(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
@@ -1140,6 +1153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "simhash_near_dups": _q_simhash_near_dups,
         "dedup_clusters": _q_dedup_clusters,
+        "dedup_corpus": _q_dedup_corpus,
         "ann_topk": _q_ann_topk,
         "embedding_near_dups": _q_embedding_near_dups,
         "lineage_metrics": _q_lineage_metrics,
@@ -1413,6 +1427,24 @@ def oracle_sql() -> dict[str, str]:
                  round({sig_agree}, 4) AS est_jaccard
           FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND ({band_eq})
           WHERE {sig_agree} >= 0.125
+        """,
+        "dedup_corpus": f"""
+          WITH RECURSIVE sigs AS ({minhash_sig}),
+          pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND ({band_eq})
+            WHERE {sig_agree} >= 0.125),
+          edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                    UNION SELECT id_b, id_a FROM pairs),
+          reach(node, r) AS (
+            SELECT u, u FROM edges
+            UNION
+            SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.node),
+          noncanon AS (
+            SELECT node AS doc_id FROM reach
+            GROUP BY node HAVING node <> min(r))
+          SELECT d.doc_id, d.lang FROM documents d
+          WHERE d.doc_id NOT IN (SELECT doc_id FROM noncanon)
         """,
         "simhash": f"""
           WITH tok AS (SELECT doc_id, unnest({_TOKENS}) AS w FROM documents),

@@ -608,9 +608,9 @@ def main() -> None:
             sat = run_cdc_scaling(
                 CDC_EVENTS_SAT, 8, 32,
                 # 6 interleaved reps: DRAM-contention windows are invisible
-                # to steal%% (r5 capture: best hi leg 70.3 s at 0.25%% steal
+                # to steal% (r5 capture: best hi leg 70.3 s at 0.25% steal
                 # vs 50-52 s known-quiet peak) — extra reps are the only
-                # defense (r6 run B: the 0.503-normalized <1%%-steal pair
+                # defense (r6 run B: the 0.503-normalized <1%-steal pair
                 # landed on rep 4 of 6); early-stop still fires at 0.7
                 # normalized, and the budget guard bounds the loop.
                 reps=int(os.environ.get("SPARK_GRAFT_CDC_SAT_REPS", "6")),
