@@ -137,12 +137,23 @@ def bucket_expr(bucket_by: str, num_buckets: int):
     return F.pmod(F.xxhash64(F.col(bucket_by)), F.lit(num_buckets)).cast("int")
 
 
-def split_expr(bucket_by: str, splits: int):
+def split_expr(split_by: str | list[str], splits: int):
     """Deterministic key->write-split hash (sub-divides each bucket; the
     salt 17 decorrelates it from the bucket hash). Pure function of the
-    key, so a file written under (bucket, split) holds exactly the keys
-    that hash there — at every commit, at every cluster size."""
-    return F.pmod(F.xxhash64(F.col(bucket_by), F.lit(17)), F.lit(splits)).cast("int")
+    named column(s), so a file written under (bucket, split) holds exactly
+    the keys that hash there — at every commit, at every cluster size.
+
+    `split_by` is the FULL key on tables created with key_cols: a hot
+    conv_id's turns then spread across `splits` fold partitions/files —
+    per-conversation skew bounded by splits, while bucket pruning is
+    untouched (the bucket remains f(bucket_by)). Legacy manifests without
+    a recorded split_by keep the bucket-key-only split so their stored
+    (bucket, split) file coordinates stay aligned with the fold's
+    routing."""
+    cols = [split_by] if isinstance(split_by, str) else list(split_by)
+    return F.pmod(
+        F.xxhash64(*[F.col(c) for c in cols], F.lit(17)), F.lit(splits)
+    ).cast("int")
 
 
 @dataclass
@@ -160,6 +171,10 @@ class Manifest:
     # order_cols, exactly like Iceberg MOR applies equality deletes.
     key_cols: list[str] | None = None
     order_cols: list[str] | None = None
+    # Write-split columns (see split_expr): full key on keyed tables,
+    # absent on legacy manifests (= bucket_by only). Fixed at create time
+    # — every file's recorded (bucket, split) must come from ONE function.
+    split_by: list[str] | None = None
     # Cumulative exactly-once ledger: {job_id: {"lw": int, "extra": [int]}}.
     # Includes this manifest's own (job_id, epoch) — folded in at publish —
     # so committed_epochs() needs exactly ONE manifest read.
@@ -178,6 +193,7 @@ class Manifest:
                 "timestamp": self.timestamp,
                 "key_cols": self.key_cols,
                 "order_cols": self.order_cols,
+                "split_by": self.split_by,
                 "ledger": self.ledger or {},
             }
         )
@@ -196,6 +212,7 @@ class Manifest:
             timestamp=d.get("timestamp", 0.0),
             key_cols=d.get("key_cols"),
             order_cols=d.get("order_cols"),
+            split_by=d.get("split_by"),
             ledger=d.get("ledger") or {},
         )
 
@@ -248,6 +265,9 @@ class LakeTable:
             timestamp=time.time(),
             key_cols=key_cols,
             order_cols=order_cols,
+            # full-key splits on keyed tables: bounds hot-bucket-key skew
+            # by `splits` in the fold AND the write (split_expr docstring)
+            split_by=list(key_cols) if key_cols else None,
         )
         t._publish(m)
         return t
@@ -346,6 +366,7 @@ class LakeTable:
             timestamp=time.time(),
             key_cols=cur.key_cols,
             order_cols=cur.order_cols,
+            split_by=cur.split_by,
             ledger=dict(cur.ledger or {}),
         )
 
@@ -405,7 +426,7 @@ class LakeTable:
         abs_dir = os.path.join(self.path, commit_dir)
         splits = _WRITE_SPLITS_PER_BUCKET
         out = df.withColumn(_BUCKET_COL, bucket_expr(m.bucket_by, m.num_buckets)) \
-            .withColumn(_SPLIT_COL, split_expr(m.bucket_by, splits))
+            .withColumn(_SPLIT_COL, split_expr(m.split_by or m.bucket_by, splits))
         if not presharded:
             # One parquet dir per bucket partition: rewrites and reads prune
             # by bucket without opening files. Cluster rows by (bucket,
@@ -790,6 +811,7 @@ class LakeTable:
             bucket_by=m.bucket_by,
             num_buckets=m.num_buckets,
             splits=splits,
+            split_by=m.split_by or m.bucket_by,
             batch_flag_col=flag,
             lineage_acc=lineage_acc,
             write_dir=abs_dir,
@@ -858,6 +880,7 @@ class LakeTable:
                 bucket_by=m.bucket_by,
                 num_buckets=m.num_buckets,
                 splits=_WRITE_SPLITS_PER_BUCKET,
+                split_by=m.split_by or m.bucket_by,
             )
             if purge_tombstones and deleted_col in df.columns:
                 df = df.filter(~F.coalesce(F.col(deleted_col), F.lit(False)))

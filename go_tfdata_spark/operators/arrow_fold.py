@@ -184,6 +184,7 @@ def aligned_lww_fold(
     bucket_by: str,
     num_buckets: int,
     splits: int = 4,
+    split_by: str | list[str] | None = None,
     bucket_col: str | None = None,
     batch_flag_col: str | None = None,
     lineage_acc=None,
@@ -250,6 +251,7 @@ def aligned_lww_fold(
 
     from go_tfdata_spark.lake.table import bucket_expr, split_expr
 
+    split_by = split_by or bucket_by
     keep_bucket = bucket_col is not None
     if keep_bucket and write_dir is not None:
         raise ValueError("write_dir mode emits manifest entries; bucket_col "
@@ -267,7 +269,7 @@ def aligned_lww_fold(
     if keep_bucket or write_dir is not None:
         work = work.withColumn(bcol, bucket_expr(bucket_by, num_buckets).cast("int"))
     if write_dir is not None:
-        work = work.withColumn(scol, split_expr(bucket_by, splits).cast("int"))
+        work = work.withColumn(scol, split_expr(split_by, splits).cast("int"))
     out_fields = [
         f for f in (work.schema if keep_bucket else df.schema).fields
         if f.name not in (batch_flag_col, scol)
@@ -469,12 +471,12 @@ def aligned_lww_fold(
         pid_expr = F.col(bcol).cast("long") * F.lit(splits)
         pid_expr = pid_expr + (
             F.col(scol).cast("long") if write_dir is not None
-            else split_expr(bucket_by, splits).cast("long")
+            else split_expr(split_by, splits).cast("long")
         )
     else:
         pid_expr = (
             bucket_expr(bucket_by, num_buckets).cast("long") * F.lit(splits)
-            + split_expr(bucket_by, splits).cast("long")
+            + split_expr(split_by, splits).cast("long")
         )
     rep = work.repartition(num_buckets * splits, pid_expr)
     return rep.mapInArrow(fold, out_schema)

@@ -545,6 +545,7 @@ def apply_changes(
             bucket_by=snap.bucket_by,
             num_buckets=snap.num_buckets,
             splits=_WRITE_SPLITS_PER_BUCKET,
+            split_by=snap.split_by or snap.bucket_by,
             lineage_acc=acc,
             all_batch=acc is not None,
             write_dir=abs_dir,

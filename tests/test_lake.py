@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -278,3 +280,86 @@ def test_gate_broadcast_size_gated(spark):
     small = gate_broadcast(keys, approx_rows=100)
     assert small is not keys
     assert "hint" in small._jdf.queryExecution().analyzed().toString().lower()
+
+
+def test_full_key_splits_spread_hot_conversation(spark, tmp_path):
+    """A hot conv_id's events must spread across multiple (bucket, split)
+    files — the split hashes the FULL key (conv_id, turn_idx), so one hot
+    conversation is bounded by splits, not serialized into one fold
+    partition/file. Reads resolve identically."""
+    from go_tfdata_spark.model import TRANSCRIPTS_SCHEMA
+    from go_tfdata_spark.operators.merge import (
+        create_transcripts_table,
+        read_table,
+        replay,
+    )
+    from go_tfdata_spark.sources.changes import synthetic_changes
+
+    # one conversation only: n_convs=1 concentrates every event on conv 0
+    changes = synthetic_changes(
+        spark, n_events=800, n_convs=1, turns_per_conv=8, n_epochs=1,
+        delete_frac=0.0, late_frac=0.0, seed=11,
+    )
+    table = create_transcripts_table(
+        spark, str(tmp_path / "t"), TRANSCRIPTS_SCHEMA, num_buckets=4
+    )
+    replay(table, changes, job_id="hot")
+    m = table.snapshot()
+    assert m.split_by == ["conv_id", "turn_idx"]
+    splits_used = {(f["bucket"], f["split"]) for f in m.files}
+    assert len(splits_used) > 1, splits_used  # hot conv spread, not 1 file
+    assert len({b for b, _ in splits_used}) == 1  # still ONE bucket (pruning)
+    # state identical to the oracle fold
+    got = {(r["conv_id"], r["turn_idx"]): r["text"] for r in read_table(table).collect()}
+    pdf = changes.toPandas()
+    import duckdb
+
+    want = {
+        (c, t): x
+        for c, t, x in duckdb.sql(
+            """SELECT conv_id, turn_idx, text FROM (
+                 SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                   ORDER BY ts DESC, lsn DESC, src_part DESC) rn FROM pdf)
+               WHERE rn=1 AND op<>'D'"""
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_legacy_split_by_absent_uses_bucket_key(spark, tmp_path):
+    """Manifests without split_by (pre-round-6 tables) must keep the
+    bucket-key-only split so recorded file coordinates stay aligned."""
+    import json as _json
+
+    from go_tfdata_spark.model import TRANSCRIPTS_SCHEMA
+    from go_tfdata_spark.operators.merge import (
+        create_transcripts_table,
+        read_table,
+        replay,
+    )
+    from go_tfdata_spark.sources.changes import synthetic_changes
+
+    table = create_transcripts_table(
+        spark, str(tmp_path / "t"), TRANSCRIPTS_SCHEMA, num_buckets=4
+    )
+    # simulate a legacy table: strip split_by from the create manifest
+    mp = table._manifest_path(1)
+    d = _json.loads(open(mp).read())
+    d["split_by"] = None
+    os.chmod(mp, 0o644)
+    open(mp, "w").write(_json.dumps(d))
+    changes = synthetic_changes(
+        spark, n_events=600, n_epochs=2, delete_frac=0.1, late_frac=0.2, seed=12
+    )
+    replay(table, changes, job_id="legacy")
+    assert table.snapshot().split_by is None  # carried forward as legacy
+    pdf = changes.toPandas()
+    import duckdb
+
+    want = duckdb.sql(
+        """SELECT count(*) FROM (
+             SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+               ORDER BY ts DESC, lsn DESC, src_part DESC) rn FROM pdf)
+           WHERE rn=1 AND op<>'D'"""
+    ).fetchone()[0]
+    assert read_table(table).count() == want
