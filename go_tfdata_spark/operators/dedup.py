@@ -23,7 +23,7 @@ oracles can restate them exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from go_tfdata_spark.functions.text import fingerprint, rolling_hash, word_shingles
@@ -431,8 +431,9 @@ def cluster_dups(
     shallow but adversarial chains (A~B~C~...) stay cheap anyway. Each
     round is two shuffles keyed by node id; lineage is truncated per round
     (localCheckpoint) so the plan does not grow with iterations. The
-    fixpoint test piggybacks on the round's own aggregate — one job per
-    round, no separate count pass."""
+    fixpoint test rides the SAME job: an `observe()` metric (changed-row
+    count) is collected while the eager localCheckpoint materializes the
+    round — one job per round, no separate count pass."""
     e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
     edges = (
         e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -455,23 +456,30 @@ def cluster_dups(
             # pointer jump: my label's current label (labels is a function,
             # one row per node, so this join cannot fan out)
             jump = labels.select(F.col("node").alias("lbl"), F.col("lbl").alias("jlbl"))
+            obs = Observation()
             new = (
                 labels.join(nbr, "node", "left")
                 .join(jump, "lbl", "left")
                 .select(
                     "node",
-                    F.col("lbl").alias("_old"),
                     F.least(
                         "lbl",
                         F.coalesce("nlbl", "lbl"),
                         F.coalesce("jlbl", "lbl"),
-                    ).alias("lbl"),
+                    ).alias("_new"),
+                    "lbl",
                 )
+                .observe(
+                    obs,
+                    F.sum((F.col("_new") != F.col("lbl")).cast("long")).alias(
+                        "changed"
+                    ),
+                )
+                .select("node", F.col("_new").alias("lbl"))
                 .localCheckpoint()
             )
-            changed = new.filter(F.col("lbl") != F.col("_old")).limit(1).count()
-            labels = new.drop("_old")
-            if changed == 0:
+            labels = new
+            if int(obs.get["changed"] or 0) == 0:
                 break
         else:
             raise RuntimeError(
