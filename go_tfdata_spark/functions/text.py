@@ -113,8 +113,30 @@ def rolling_hash(c: Column, mod: int = 2**31 - 1) -> Column:
     """Polynomial rolling hash of a string (fold over characters,
     acc = acc*31 + ascii(ch) mod `mod`) — a deterministic 31-bit hash
     expressible identically in ANSI SQL (DuckDB list_reduce), used where
-    both engines must agree on hash values (minhash/simhash oracles)."""
+    both engines must agree on hash values (minhash/simhash oracles).
+
+    `mod=2**64` selects the 64-bit variant (full long wraparound, result
+    reinterpreted as signed). ANSI mode forbids overflowing multiplies, so
+    the fold carries the accumulator as two 32-bit limbs (hi, lo) — each
+    step stays under 2^37 — and recombines with shiftleft|or (bitwise ops,
+    overflow-exempt). Used by simhash(bits=64) for billion-doc corpora."""
     chars = F.split(c, "")
+    if mod == 2**64:
+        mask32 = F.lit((1 << 32) - 1)
+
+        def _step(acc: Column, ch: Column) -> Column:
+            lo = acc["lo"] * 31 + F.ascii(ch)
+            hi = (acc["hi"] * 31 + F.shiftright(lo, 32)).bitwiseAND(mask32)
+            return F.struct(hi.alias("hi"), lo.bitwiseAND(mask32).alias("lo"))
+
+        return F.aggregate(
+            chars,
+            F.struct(
+                F.lit(0).cast("long").alias("hi"), F.lit(0).cast("long").alias("lo")
+            ),
+            _step,
+            lambda acc: F.shiftleft(acc["hi"], 32).bitwiseOR(acc["lo"]),
+        )
     return F.aggregate(
         chars,
         F.lit(0).cast("long"),

@@ -323,15 +323,26 @@ def minhash_near_dups(
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
-    """SimHash: per token, a `bits`-bit rolling hash votes +1/-1 per bit
+    """SimHash: per token, a `bits`-bit token hash votes +1/-1 per bit
     position; the sign of each bit's vote sum forms the fingerprint.
     Output: (id, simhash long). One explode + one groupBy with `bits`
-    conditional sums — all codegen'd."""
+    conditional sums — all codegen'd.
+
+    Token hash: bits<=32 uses the polynomial rolling hash (DuckDB-oracle
+    expressible); bits=64 uses JVM-native xxhash64 — a rolling hash only
+    accumulates ~5 bits of entropy per character, so short tokens would
+    leave the upper fingerprint bits constant-zero and the high bands of
+    `simhash_near_dups` degenerate (one bucket holding the whole corpus).
+    xxhash64 avalanches all 64 bits regardless of token length."""
     df = _ensure_parallelism(df, id_col)
     tok = df.select(
         F.col(id_col),
         F.explode(F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")).alias("w"),
-    ).withColumn("h", rolling_hash(F.col("w"), mod=2**bits))
+    )
+    tok = tok.withColumn(
+        "h",
+        F.xxhash64(F.col("w")) if bits == 64 else rolling_hash(F.col("w"), mod=2**bits),
+    )
     votes = tok.groupBy(id_col).agg(
         *[
             F.sum(
@@ -342,7 +353,11 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     )
     acc = F.lit(0).cast("long")
     for i in range(bits):
-        acc = acc + F.when(F.col(f"b{i}") > 0, F.lit(2**i).cast("long")).otherwise(0)
+        # bit 63 is the sign bit: 2**63 overflows a long literal, so add
+        # long-min (same two's-complement bit pattern; cannot overflow since
+        # bits 0..62 sum to < 2**63)
+        weight = -(2**63) if i == 63 else 2**i
+        acc = acc + F.when(F.col(f"b{i}") > 0, F.lit(weight).cast("long")).otherwise(0)
     return votes.select(id_col, acc.alias("simhash"))
 
 
@@ -367,8 +382,8 @@ def simhash_near_dups(
 
     Scale note: a band carries bits/(k+1) bits of key (8 bits at the
     32/3 default), so band-bucket sizes are corpus/256 in the worst case —
-    use bits=64 (rolling-hash mod 2^64 wraps a long) for billion-doc
-    corpora to keep buckets bounded."""
+    use bits=64 (xxhash64 token hashing; all bands uniformly populated)
+    for billion-doc corpora to keep buckets bounded."""
     if not 0 <= max_hamming < bits:
         raise ValueError(f"max_hamming must be in [0, {bits}), got {max_hamming}")
     fps = _take_cache(simhash(df, id_col, text_col, bits))
@@ -385,7 +400,8 @@ def simhash_near_dups(
                     F.struct(
                         F.lit(i).alias("band"),
                         F.shiftright(F.col("simhash"), offs[i])
-                        .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                        # a full-width band's all-ones mask is -1 as a long
+                        .bitwiseAND(F.lit(-1 if widths[i] == 64 else (1 << widths[i]) - 1))
                         .alias("bv"),
                     )
                     for i in range(nbands)

@@ -111,6 +111,50 @@ def test_simhash_near_dups_banded_equals_brute(spark, docs):
         simhash_near_dups(docs, "doc_id", "text", max_hamming=32)
 
 
+def test_simhash_bits64_end_to_end(spark, docs):
+    """bits=64 (the documented big-corpus default) end to end: the 64-bit
+    rolling hash must equal the Python uint64-wrap reference, fingerprints
+    must use the full upper 32 bits, and banded pairing must equal brute
+    force at 64 bits — exercising the long-wrap path the 32-bit contract
+    queries never touch."""
+    from go_tfdata_spark.functions.text import rolling_hash
+    from go_tfdata_spark.operators.dedup import simhash_near_dups
+
+    # 1) 64-bit rolling hash == Python reference (wrap mod 2^64, signed view)
+    words = ["fox", "dog", "a", "", "supercalifragilisticexpialidocious" * 4]
+    wdf = spark.createDataFrame([(w,) for w in words], "w string")
+    got_h = {
+        r["w"]: r["h"]
+        for r in wdf.select("w", rolling_hash(F.col("w"), mod=2**64).alias("h")).collect()
+    }
+
+    def ref(word: str) -> int:
+        acc = 0
+        for ch in word:
+            acc = (acc * 31 + ord(ch)) % 2**64
+        return acc - 2**64 if acc >= 2**63 else acc
+
+    assert got_h == {w: ref(w) for w in words}
+
+    # 2) fingerprints differ from the 32-bit ones and exercise high bits
+    sh64 = {r["doc_id"]: r["simhash"] for r in simhash(docs, "doc_id", "text", bits=64).collect()}
+    assert any(v < 0 or v >= 2**32 for v in sh64.values()), "upper 32 bits never set"
+    assert sh64[0] == sh64[1] == sh64[4]  # dups still collide at 64 bits
+
+    # 3) banded candidate generation is still complete at bits=64
+    for k in (0, 3):
+        want = {
+            (a, b, bin((sh64[a] ^ sh64[b]) & (2**64 - 1)).count("1"))
+            for a in sh64 for b in sh64
+            if a < b and bin((sh64[a] ^ sh64[b]) & (2**64 - 1)).count("1") <= k
+        }
+        got = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in simhash_near_dups(docs, "doc_id", "text", bits=64, max_hamming=k).collect()
+        }
+        assert got == want, k
+
+
 def test_cluster_dups_transitive_closure(spark):
     from go_tfdata_spark.operators.dedup import cluster_dups
 
