@@ -190,22 +190,33 @@ def table_changes_range(
     to_epoch: int,
     key_cols: list[str] = list(KEY_COLUMNS),
     prune_buckets: bool = True,
+    single_job: bool = True,
 ) -> DataFrame:
     """Change feed over an EPOCH RANGE [from_epoch, to_epoch], inclusive:
-    one bucket-pruned per-epoch diff per step, unioned LAZILY, each row
-    tagged `_commit_epoch`. This is the catch-up read a downstream
-    materialization does after falling N epochs behind — applying the rows
-    in `_commit_epoch` order (deletes drop, others upsert) reproduces
-    snapshot `to_epoch` exactly from snapshot `from_epoch - 1`.
+    bucket-pruned per-epoch diffs, each row tagged `_commit_epoch`. This is
+    the catch-up read a downstream materialization does after falling N
+    epochs behind — applying the rows in `_commit_epoch` order (deletes
+    drop, others upsert) reproduces snapshot `to_epoch` exactly from
+    snapshot `from_epoch - 1`.
 
-    Cost: each step reads only the buckets its commit touched (immutable
-    data files -> file-set diff prunes), and nothing executes until the
-    consumer acts on the unioned plan — Spark runs the per-epoch scans as
-    independent stages of ONE job, not N sequential jobs. Raises KeyError
-    (like `table_changes`) when any epoch in the range, or the parent of
-    `from_epoch`, has been vacuumed past."""
+    `single_job=True` (default) builds ONE plan whose scan count is bounded
+    by the touched FILES, not the epoch count: every distinct data file is
+    read exactly once by a single multi-path scan, a broadcast role map
+    fans each file's rows out to the (epoch, side) states it participates
+    in, and the whole range diffs in ONE key-equality join keyed by
+    (_commit_epoch, key) — a 10^4-epoch catch-up stays a 3-stage job
+    instead of a 10^4-arm union. `single_job=False` keeps the legacy
+    per-epoch lazy union (one `table_changes` plan arm per epoch), useful
+    when per-epoch plans must stay independently explainable.
+
+    Raises KeyError (like `table_changes`) when any epoch in the range, or
+    the parent of `from_epoch`, has been vacuumed past."""
     if to_epoch < from_epoch:
         raise ValueError(f"empty epoch range [{from_epoch}, {to_epoch}]")
+    if single_job:
+        return _changes_range_single_job(
+            table, job_id, from_epoch, to_epoch, key_cols, prune_buckets
+        )
     out = None
     for e in range(from_epoch, to_epoch + 1):
         d = table_changes(table, job_id, e, key_cols, prune_buckets).withColumn(
@@ -213,6 +224,132 @@ def table_changes_range(
         )
         out = d if out is None else out.unionByName(d)
     return out
+
+
+def _changes_range_single_job(
+    table: LakeTable,
+    job_id: str,
+    from_epoch: int,
+    to_epoch: int,
+    key_cols: list[str],
+    prune_buckets: bool,
+) -> DataFrame:
+    """One-plan epoch-range diff (see `table_changes_range`).
+
+    Driver side is pure manifest arithmetic (the same dict walks the stream
+    source does in streaming/feed.py): for each epoch, the files of its
+    touched buckets at the commit and at its parent become (file, epoch,
+    side) roles. Data files are immutable and attempt-unique, so a file
+    appearing in many states is still scanned ONCE; the broadcast role join
+    replays its rows into every (epoch, side) it serves. On a copy-on-write
+    table a file serves at most two roles (cur of its writing epoch, prev
+    of the next epoch touching its bucket), so the fan-out is bounded by 2;
+    merge-on-read snapshots can fan wider but resolve in the same plan."""
+    import os
+
+    spark = table.spark
+    roles: list[tuple[str, int, str]] = []
+    need_resolve = False
+    m = None
+    for e in range(from_epoch, to_epoch + 1):
+        v = table.version_for_epoch(job_id, e)
+        m = table.snapshot(v)
+        if m.parent is None:
+            pm = None
+        else:
+            try:
+                pm = table.snapshot(m.parent)
+            except FileNotFoundError:
+                raise KeyError(
+                    f"parent snapshot of epoch {e} (version {m.parent}) "
+                    "vacuumed past; change feed requires both snapshots retained"
+                ) from None
+        touched = _touched_buckets(pm, m) if (pm is not None and prune_buckets) else None
+
+        def _picked(man):
+            return [
+                f for f in man.files if touched is None or f.get("bucket") in touched
+            ]
+
+        roles += [(f["path"], e, "cur") for f in _picked(m)]
+        need_resolve = need_resolve or bool(m.has_deltas and m.key_cols and m.order_cols)
+        if pm is not None:
+            roles += [(f["path"], e, "prev") for f in _picked(pm)]
+            need_resolve = need_resolve or bool(
+                pm.has_deltas and pm.key_cols and pm.order_cols
+            )
+    # to_epoch's schema is the additive superset: older files null-fill.
+    schema = m.schema
+    out_cols = [c for c in schema.names if c not in META_COLUMNS]
+    if not roles:
+        empty = spark.createDataFrame([], schema).drop(*META_COLUMNS)
+        return empty.withColumn("_change_type", F.lit("insert")).withColumn(
+            "_commit_epoch", F.lit(0).cast("long")
+        ).filter(F.lit(False))
+    rel_paths = sorted({p for p, _, _ in roles})
+    # Role attachment key: the shortest path SUFFIX (k trailing segments)
+    # unique across all involved files. One basename is not enough — Spark's
+    # partitioned writer reuses its job UUID across bucket dirs — but every
+    # layout nests files under a per-commit uuid dir, so a short suffix
+    # always disambiguates. Suffixes survive the file:// URI prefix
+    # `input_file_name()` adds, which a full-path match would not.
+    def _suffix(p: str, k: int) -> str:
+        return "/".join(p.split("/")[-k:])
+
+    min_depth = min(len(p.split("/")) for p in rel_paths)
+    for k in range(1, min_depth + 1):
+        if len({_suffix(p, k) for p in rel_paths}) == len(rel_paths):
+            break
+    else:
+        # unreachable with per-commit uuid dirs; degenerate layouts fall
+        # back to the per-epoch union.
+        return table_changes_range(
+            table, job_id, from_epoch, to_epoch, key_cols, prune_buckets,
+            single_job=False,
+        )
+    data = spark.read.schema(schema).parquet(
+        *[os.path.join(table.path, p) for p in rel_paths]
+    )
+    data = data.withColumn(
+        "_fkey", F.array_join(F.slice(F.split(F.input_file_name(), "/"), -k, k), "/")
+    )
+    roles_df = spark.createDataFrame(
+        [(_suffix(p, k), e, s) for p, e, s in roles],
+        "_fkey string, _commit_epoch long, _side string",
+    )
+    tagged = data.join(F.broadcast(roles_df), "_fkey").drop("_fkey")
+    if need_resolve:
+        tagged = lww_latest(
+            tagged,
+            key_cols=["_commit_epoch", "_side", *m.key_cols],
+            order_cols=list(m.order_cols),
+        )
+    c_del = F.coalesce(F.col("_deleted"), F.lit(False))
+    ord_cols = ["ts", "_lsn", "_src_part"]
+    cur = tagged.filter(F.col("_side") == "cur").drop("_side")
+    prev = (
+        tagged.filter(F.col("_side") == "prev")
+        .filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+        .select(
+            "_commit_epoch",
+            *key_cols,
+            F.struct(*[F.col(c) for c in ord_cols]).alias("_p_ord"),
+            F.lit(True).alias("_p_exists"),
+        )
+    )
+    j = cur.join(prev, ["_commit_epoch", *key_cols], "left")
+    p_live = F.coalesce(F.col("_p_exists"), F.lit(False))
+    same_winner = F.struct(*[F.col(c) for c in ord_cols]).eqNullSafe(F.col("_p_ord"))
+    change = (
+        F.when(~c_del & ~p_live, F.lit("insert"))
+        .when(~c_del & p_live & ~same_winner, F.lit("update_postimage"))
+        .when(c_del & p_live, F.lit("delete"))
+    )
+    return (
+        j.withColumn("_change_type", change)
+        .filter(F.col("_change_type").isNotNull())
+        .select(*out_cols, "_change_type", "_commit_epoch")
+    )
 
 
 def validate_changes(

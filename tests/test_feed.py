@@ -62,6 +62,54 @@ def test_range_feed_reproduces_snapshots(replayed):
     assert _apply_feed(rows, _snap(table, 0)) == _snap(table, 2)
 
 
+def _n_scans(df):
+    # Final physical plan only (AQE's toString appends an "Initial Plan"
+    # section that would double-count every node).
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    return plan.count("FileScan parquet") + plan.count("BatchScan")
+
+
+def test_range_feed_single_job_equals_union(replayed):
+    """The one-plan variant must emit EXACTLY the per-epoch union's rows,
+    same columns, and its scan count must be CONSTANT in the epoch-range
+    length (two scans total: cur side full-width, prev side column-pruned
+    to key+order+_deleted) — vs the legacy union whose plan grows one
+    two-scan diff arm per epoch."""
+    table = replayed
+    one = table_changes_range(table, "j", 0, 2, single_job=True)
+    many = table_changes_range(table, "j", 0, 2, single_job=False)
+    assert one.columns == many.columns
+    row_set = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
+    assert row_set(one) == row_set(many)
+    short = table_changes_range(table, "j", 1, 1, single_job=True)
+    short.collect()
+    assert _n_scans(one) == _n_scans(short) == 2
+    # the legacy union grows one diff arm (2 scans; 1 for the parentless
+    # first epoch) per epoch: 1 + 2 + 2 here
+    many.collect()
+    assert _n_scans(many) == 5
+
+
+def test_range_feed_single_job_mor(spark, tmp_path):
+    """MOR snapshots carry unresolved delta files; the one-plan variant
+    must LWW-resolve them per (epoch, side) before diffing — exercised
+    here because no COW fixture ever sets `need_resolve`."""
+    changes = synthetic_changes(
+        spark, n_events=800, n_epochs=3, delete_frac=0.15, late_frac=0.2, seed=7
+    )
+    table = create_transcripts_table(
+        spark, str(tmp_path / "t"), TRANSCRIPTS_SCHEMA, num_buckets=4
+    )
+    replay(table, changes, job_id="j", merge_strategy="mor")
+    assert table.snapshot().has_deltas
+    one = table_changes_range(table, "j", 0, 2, single_job=True)
+    many = table_changes_range(table, "j", 0, 2, single_job=False)
+    row_set = lambda df: {tuple(r) for r in df.collect()}  # noqa: E731
+    assert row_set(one) == row_set(many)
+    assert _apply_feed(one.collect()) == _snap(table, 2)
+
+
 def test_range_feed_validation(replayed):
     with pytest.raises(ValueError, match="empty epoch range"):
         table_changes_range(replayed, "j", 2, 1)
