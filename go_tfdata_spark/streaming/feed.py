@@ -40,15 +40,28 @@ from dataclasses import dataclass, field
 from pyspark.sql import types as T
 from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPartition
 
-from go_tfdata_spark.lake.table import _ledger_contains
-
 FORMAT_NAME = "go_tfdata_cdf"
 _MANIFEST_DIR = "_manifests"  # mirrors lake.table layout constants
 
-# stored-order / tombstone metadata (operators/merge.py META_COLUMNS);
-# imported lazily in workers to keep the partition payload plain data
+
+def _ledger_contains(ledger: dict, job_id: str, epoch: int) -> bool:
+    """Local copy of lake.table._ledger_contains (tests/test_feed.py pins
+    the two to identical behavior). Deliberately NOT imported: this module
+    must be fully self-contained so `register_change_feed` can register it
+    pickle-by-value — Spark's Python data source planner process does not
+    inherit --py-files, so any by-reference pickle of this module's classes
+    dies with ModuleNotFoundError under spark-submit."""
+    entry = ledger.get(job_id)
+    if not entry:
+        return False
+    return int(epoch) <= int(entry["lw"]) or int(epoch) in set(entry["extra"])
+
+# stored-order / tombstone metadata — local copies of operators/merge.py's
+# LWW_ORDER_COLUMNS / META_COLUMNS (tests/test_feed.py pins them equal):
+# NOT imported, for the same self-containment reason as _ledger_contains
 _ORDER = ("ts", "_lsn", "_src_part")
 _DELETED = "_deleted"
+_META = ("_lsn", "_src_part", "_deleted")
 
 
 class _ManifestChain:
@@ -135,10 +148,8 @@ class _FeedPartition(InputPartition):
 
 def _schema_from_manifest(m: dict) -> tuple[T.StructType, list[str], list[str]]:
     """(feed schema, business cols, key cols) from a manifest JSON."""
-    from go_tfdata_spark.operators.merge import META_COLUMNS
-
     phys = T.StructType.fromJson(m["schema"])
-    business = [f for f in phys.fields if f.name not in META_COLUMNS]
+    business = [f for f in phys.fields if f.name not in _META]
     out = T.StructType(
         business
         + [
@@ -331,6 +342,21 @@ class ChangeFeedDataSource(DataSource):
 
 
 def register_change_feed(spark) -> None:
+    """Register the source, shipping THIS MODULE by value: the Python data
+    source planner process Spark spawns to drive offsets/partitions does
+    not inherit --py-files, so a by-reference pickle of the source class
+    fails to import there on any deployment where the engine arrives via
+    py-files/archives rather than a cluster-wide install. The module is
+    stdlib+pyspark-only (see `_ledger_contains`), so by-value is cheap and
+    total."""
+    try:
+        import sys
+
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    except Exception:
+        pass  # older cloudpickle: fall back to by-reference (in-process ok)
     spark.dataSource.register(ChangeFeedDataSource)
 
 

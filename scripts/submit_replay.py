@@ -61,12 +61,26 @@ def main() -> None:
                    help="crash-inject: os._exit after N applied batches, "
                         "BETWEEN the lake commit and Spark's checkpoint "
                         "commit (tests the exactly-once resume window)")
+    p.add_argument("--consume-feed", action="store_true",
+                   help="consume the go_tfdata_cdf readStream source from "
+                        "--table into --sink (idempotent per-batchId parquet "
+                        "dirs); requires --checkpoint. No --log needed.")
+    p.add_argument("--sink", help="output dir for --consume-feed")
+    p.add_argument("--die-in-batch", type=int, default=-1,
+                   help="crash-inject (--consume-feed): os._exit inside the "
+                        "given batchId's foreachBatch, AFTER the sink write "
+                        "but BEFORE Spark's checkpoint commit — the "
+                        "at-least-once redelivery window a consumer's "
+                        "idempotent sink must absorb")
     args = p.parse_args()
 
     if args.make_zip:
         print(make_zip(args.make_zip))
         return
-    if not (args.table and args.log):
+    if args.consume_feed:
+        if not (args.table and args.sink and args.checkpoint):
+            p.error("--consume-feed requires --table, --sink and --checkpoint")
+    elif not (args.table and args.log):
         p.error("--table and --log are required (or --make-zip)")
 
     from pyspark.sql import SparkSession
@@ -78,6 +92,69 @@ def main() -> None:
     from go_tfdata_spark.model import TRANSCRIPTS_SCHEMA
     from go_tfdata_spark.operators.merge import create_transcripts_table, replay
     from go_tfdata_spark.sources.changes import read_change_log
+
+    if args.consume_feed:
+        # Downstream CDF consumer: epochs arrive from the go_tfdata_cdf
+        # source, progress lives in Spark's OWN offset log (the source
+        # commits nothing), and the sink is idempotent by construction —
+        # each micro-batch overwrites a dir keyed by its batchId, so a
+        # batch redelivered after a crash in the at-least-once window
+        # lands on the same dir and the feed stays exactly-once end to
+        # end. A jsonl beside the sink records every delivery ATTEMPT
+        # (batchId + epochs), so a test can prove the redelivery really
+        # happened rather than the crash never firing.
+        from go_tfdata_spark.streaming.feed import read_change_feed_stream
+
+        meta_log = args.sink.rstrip("/") + "_batches.jsonl"
+
+        def on_feed_batch(df, batch_id: int) -> None:
+            bdir = os.path.join(args.sink, f"b{batch_id}")
+            df.write.mode("overwrite").parquet(bdir)
+            eps = sorted(
+                r[0]
+                for r in spark.read.parquet(bdir)
+                .select("_commit_epoch").distinct().collect()
+            )
+            with open(meta_log, "a") as f:
+                f.write(json.dumps({"batch_id": batch_id, "epochs": eps}) + "\n")
+            if args.die_in_batch == batch_id:
+                os._exit(137)  # sink written, checkpoint commit swallowed
+
+        q = (
+            read_change_feed_stream(spark, args.table, args.job_id)
+            .writeStream.foreachBatch(on_feed_batch)
+            .option("checkpointLocation", args.checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        attempts = []
+        if os.path.exists(meta_log):
+            with open(meta_log) as f:
+                attempts = [json.loads(l) for l in f if l.strip()]
+        batch_dirs = sorted(
+            d for d in os.listdir(args.sink) if d.startswith("b")
+        ) if os.path.isdir(args.sink) else []
+        delivered = (
+            spark.read.parquet(*[os.path.join(args.sink, d) for d in batch_dirs])
+            if batch_dirs else None
+        )
+        counts = (
+            {
+                int(r["_commit_epoch"]): r["n"]
+                for r in delivered.groupBy("_commit_epoch").count()
+                .withColumnRenamed("count", "n").collect()
+            }
+            if delivered is not None else {}
+        )
+        print(json.dumps({
+            "mode": "consume_feed",
+            "attempts": attempts,
+            "batch_dirs": batch_dirs,
+            "epoch_row_counts": {str(k): v for k, v in sorted(counts.items())},
+        }))
+        sys.stdout.flush()
+        return
 
     try:
         table = LakeTable.load(spark, args.table)

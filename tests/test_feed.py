@@ -110,6 +110,33 @@ def test_range_feed_single_job_mor(spark, tmp_path):
     assert _apply_feed(one.collect()) == _snap(table, 2)
 
 
+def test_ledger_contains_copies_agree():
+    """feed._ledger_contains is a deliberate self-containment copy of
+    lake.table._ledger_contains (pickle-by-value requirement); pin the two
+    to identical behavior so they cannot drift apart silently."""
+    from go_tfdata_spark.lake import table as lt
+    from go_tfdata_spark.streaming import feed as fd
+
+    cases = [
+        ({}, "j", 0),
+        ({"j": {"lw": 3, "extra": []}}, "j", 2),
+        ({"j": {"lw": 3, "extra": []}}, "j", 4),
+        ({"j": {"lw": 3, "extra": [5]}}, "j", 5),
+        ({"j": {"lw": 3, "extra": [5]}}, "k", 1),
+    ]
+    for ledger, job, epoch in cases:
+        assert fd._ledger_contains(ledger, job, epoch) == lt._ledger_contains(
+            ledger, job, epoch
+        ), (ledger, job, epoch)
+    # the metadata/order constants are copies for the same reason: _META
+    # mirrors merge.META_COLUMNS; _ORDER is the physical LWW total order
+    # ("ts" + the two stored order meta columns)
+    from go_tfdata_spark.operators import merge as M
+
+    assert list(fd._META) == list(M.META_COLUMNS)
+    assert list(fd._ORDER) == ["ts"] + list(M.META_COLUMNS[:2])
+
+
 def test_range_feed_validation(replayed):
     with pytest.raises(ValueError, match="empty epoch range"):
         table_changes_range(replayed, "j", 2, 1)

@@ -139,3 +139,91 @@ def test_spark_submit_stream_kill_resume(spark, tmp_path):
     table = LakeTable.load(spark, table_path)
     oracle = sequential_apply(changes.toPandas(), ["role", "text", "tool", "ts"])
     assert_final_state_equal(read_table(table), oracle)
+
+
+@pytest.mark.skipif(_spark_submit() is None, reason="spark-submit not on PATH")
+def test_spark_submit_feed_consume_kill_resume(spark, tmp_path):
+    """Exactly-once CONSUMPTION of the go_tfdata_cdf stream, off the driver
+    process: a spark-submit consumer is hard-killed inside the at-least-once
+    window (sink written, Spark checkpoint commit swallowed), more epochs
+    are committed to the table, then the consumer resumes on the same
+    checkpoint. Spark must redeliver the swallowed batch under the SAME
+    batchId (the idempotent sink overwrites in place) and then advance to
+    the new epochs — each epoch's rows land in the sink exactly once and
+    match the batch range feed."""
+    import pyspark.sql.functions as F
+
+    from go_tfdata_spark.lake.table import LakeTable
+    from go_tfdata_spark.model import TRANSCRIPTS_SCHEMA
+    from go_tfdata_spark.operators.merge import (
+        apply_changes,
+        create_transcripts_table,
+        replay,
+        table_changes_range,
+    )
+
+    zip_path = str(tmp_path / "engine.zip")
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "submit_replay.py"),
+         "--make-zip", zip_path],
+        capture_output=True, text=True, check=True,
+    )
+    table_path = str(tmp_path / "t")
+    table = create_transcripts_table(spark, table_path, TRANSCRIPTS_SCHEMA,
+                                     num_buckets=4)
+    changes = synthetic_changes(spark, n_events=900, n_epochs=3,
+                                delete_frac=0.1, late_frac=0.2, seed=41)
+    replay(table, changes, job_id="j")
+
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "fckpt")
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    base = [
+        _spark_submit(), "--master", "local[2]",
+        "--conf", "spark.sql.shuffle.partitions=4",
+        "--conf", "spark.ui.enabled=false",
+        "--py-files", zip_path,
+        os.path.join(REPO, "scripts", "submit_replay.py"),
+        "--consume-feed", "--table", table_path, "--sink", sink,
+        "--checkpoint", ckpt, "--job-id", "j",
+    ]
+    # Run 1: dies inside batch 0's foreachBatch, after the sink write —
+    # Spark's checkpoint commit for that batch never happens.
+    r1 = subprocess.run(base + ["--die-in-batch", "0"],
+                        capture_output=True, text=True, env=env,
+                        cwd=str(tmp_path), timeout=300)
+    assert r1.returncode != 0
+
+    # A new epoch lands on the table while the consumer is down.
+    extra = synthetic_changes(spark, n_events=300, n_epochs=1,
+                              delete_frac=0.1, late_frac=0.2, seed=42)
+    apply_changes(table, extra.withColumn("epoch", F.lit(3)), "j", epoch=3)
+
+    # Run 2: resume from Spark's offset log on the same checkpoint. Spark
+    # REdelivers the swallowed batch under the SAME batchId; the recovered
+    # batch completes this availableNow trigger (wrapper semantics), so
+    # epoch 3 arrives on the NEXT trigger — run 3.
+    r2 = subprocess.run(base, capture_output=True, text=True, env=env,
+                        cwd=str(tmp_path), timeout=300)
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    out2 = json.loads([l for l in r2.stdout.splitlines() if l.startswith("{")][-1])
+    b0 = [a for a in out2["attempts"] if a["batch_id"] == 0]
+    assert len(b0) == 2 and b0[0]["epochs"] == b0[1]["epochs"], out2["attempts"]
+
+    r3 = subprocess.run(base, capture_output=True, text=True, env=env,
+                        cwd=str(tmp_path), timeout=300)
+    assert r3.returncode == 0, r3.stderr[-3000:]
+    out = json.loads([l for l in r3.stdout.splitlines() if l.startswith("{")][-1])
+    delivered_epochs = sorted(
+        {e for a in out["attempts"] for e in a["epochs"]}
+    )
+    assert delivered_epochs == [0, 1, 2, 3]
+
+    # Sink rows == batch range feed rows, each epoch exactly once.
+    table = LakeTable.load(spark, table_path)
+    want = table_changes_range(table, "j", 0, 3)
+    got = spark.read.parquet(*[os.path.join(sink, d) for d in out["batch_dirs"]])
+    key = lambda r: (r["conv_id"], r["turn_idx"], r["_commit_epoch"],  # noqa: E731
+                     r["_change_type"], r["text"], r["ts"])
+    got_keys = [key(r) for r in got.collect()]
+    assert len(got_keys) == len(set(got_keys))  # no row delivered twice
+    assert set(got_keys) == {key(r) for r in want.collect()}
