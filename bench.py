@@ -466,6 +466,7 @@ def run_cdc_scaling_primary(
     def steals_ok(th: float = 1.0) -> bool:
         return all((out[c].get("steal_pct") or 0) < th for c in (lo, hi))
 
+    hook_ran = mid_hook is None
     for rep in range(max_reps):
         improved_hi = False
         for cores in (lo, hi):
@@ -476,22 +477,31 @@ def run_cdc_scaling_primary(
                 improved_hi = improved_hi or cores == hi
         if improved_hi or probe is None:
             probe = _stringwork_pair(lo, hi)
-        if rep == 0 and mid_hook is not None:
-            # Round-4 failure mode: the primary loop spent the whole budget
-            # and the saturation pair was skipped. The hook (saturation +
-            # full-span blocks) runs HERE, right after the first complete
-            # pair + in-window probe, before any further primary reps — it
-            # can no longer be starved. Budget accounting is automatic: the
-            # loop's checks read the wall clock after the hook returns.
-            extras = mid_hook() or {}
         eff, norm = current()
         done = (eff >= target_raw and steals_ok()) or (
             norm is not None and norm >= target_norm and steals_ok()
         )
+        if not hook_ran and (done or rep >= 1):
+            # TWO competing failure modes, both observed:
+            #   round 4 — primary reps spent the whole budget, the
+            #   saturation pair was silently skipped;
+            #   round 6 — the hook ran after the FIRST pair, spent the
+            #   budget, and the primary was recorded off ONE rep per leg
+            #   (this box's noise is bimodal by the minute: a single pair
+            #   is a coin flip — it landed 0.598 raw vs 0.855 in r5).
+            # Resolution: the hook runs after the SECOND complete primary
+            # round (best-of-2 minimum banked), or immediately once a
+            # round already met the acceptance target. If the budget dies
+            # before rep 1, the post-loop fallback still runs the hook —
+            # its internal guards decide what it can afford.
+            extras = mid_hook() or {}
+            hook_ran = True
         # stop early when the target is captured, or the budget is gone
         # (budget math on measured child WALL times, incl. generation)
         if done or budget_left() < (out[lo]["wall"] + out[hi]["wall"]) * 1.15:
             break
+    if not hook_ran:
+        extras = mid_hook() or {}
     # steal-gated retries for any leg whose best rep was still contended
     for cores in (lo, hi):
         tries = 0
@@ -588,8 +598,10 @@ def main() -> None:
     os.environ["SPARK_GRAFT_SHARED_LOG_DIR"] = shared_dir
 
     def mid_hook() -> dict:
-        """Runs after the FIRST primary pair (guaranteed budget slot):
-        the 8->32 saturation block and the full-span 2->32 point."""
+        """Runs after the SECOND primary pair (or the first that meets the
+        acceptance target): the 8->32 saturation block and the full-span
+        2->32 point. Guaranteed to be invoked (post-loop fallback), with
+        internal budget guards deciding what it can afford."""
         extras: dict = {}
         try:
             # SECONDARY: 8 -> 32 cores at CDC_EVENTS_SAT — the single-box
@@ -648,8 +660,9 @@ def main() -> None:
             _gen_logs(32, CDC_EVENTS)
             # PRIMARY pair (see CDC_EVENTS comment): N=2 -> 4N=8 cores, with
             # in-window ceiling probes + noise-adaptive rep count. The
-            # saturation + full-span blocks run via mid_hook after the first
-            # pair — before reps 2..N can consume the budget.
+            # saturation + full-span blocks run via mid_hook once the
+            # primary has banked best-of-2 interleaved rounds (or met its
+            # target) — neither side can starve the other.
             cdc = run_cdc_scaling_primary(
                 CDC_EVENTS, lo, hi,
                 max_reps=int(os.environ.get("SPARK_GRAFT_CDC_REPS", "5")),
