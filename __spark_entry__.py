@@ -403,6 +403,26 @@ def _q_embedding_near_dups_lsh(spark, sf):
     ).select("id_a", "id_b", F.round("cos", 4).alias("cos"))
 
 
+def _q_semantic_dedup_corpus(spark, sf):
+    """Semantic (embedding-modality) corpus dedup end to end: hyperplane-LSH
+    near-dup pairs -> transitive clusters (pointer-jumped min-label
+    propagation) -> keep one canonical vector per cluster plus every
+    unpaired vector. Completes the pairs->clusters->canonical story for the
+    embedding modality exactly as dedup_corpus does for MinHash text dedup.
+    Oracle: anti-join against the recursive-CTE non-canonical set over the
+    SAME restated hyperplane bucket function."""
+    from go_tfdata_spark.operators.dedup import dedup_by_clusters, embedding_near_dups
+
+    emb = _t(spark, sf, "embeddings").select(
+        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v")
+    )
+    pairs = embedding_near_dups(
+        emb, "vec_id", "v", threshold=0.45,
+        hyperplanes=_EMB_PLANES, seed=_EMB_SEED, dim=_EMB_DIM,
+    )
+    return dedup_by_clusters(emb, pairs, "vec_id").select("vec_id")
+
+
 def _q_tar_ingest(spark, sf):
     """TAR archive source end-to-end (reference's primary ingest surface):
     deterministic fixture archive -> member rows -> assembled samples ->
@@ -1164,6 +1184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": _q_simhash_near_dups,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_corpus": _q_dedup_corpus,
+        "semantic_dedup_corpus": _q_semantic_dedup_corpus,
         "ann_topk": _q_ann_topk,
         "embedding_near_dups": _q_embedding_near_dups,
         "lineage_metrics": _q_lineage_metrics,
@@ -1761,6 +1782,7 @@ def oracle_sql() -> dict[str, str]:
           FROM documents
         """,
         "embedding_near_dups_lsh": _embedding_lsh_sql(),
+        "semantic_dedup_corpus": _semantic_dedup_sql(),
         "tar_ingest": _tar_ingest_sql(),
         # tfexample_roundtrip: literal expected table — proves the protobuf
         # wire codec round-trip is lossless (see _q_tfexample_roundtrip).
@@ -1781,25 +1803,58 @@ def oracle_sql() -> dict[str, str]:
     }
 
 
-def _embedding_lsh_sql() -> str:
-    """Restate the hyperplane bucket function literally: same plane matrix,
-    same sign-bit packing, then the bucket-equality join + cosine filter."""
+def _hyperplane_bits_sql() -> str:
+    """The hyperplane bucket function restated literally: same plane
+    matrix, same sign-bit packing the engine uses."""
     from go_tfdata_spark.operators.dedup import hyperplane_matrix
 
     planes = hyperplane_matrix(_EMB_PLANES, _EMB_DIM, _EMB_SEED)
-    bits = " + ".join(
+    return " + ".join(
         f"(CASE WHEN list_dot_product(embedding::DOUBLE[], "
         f"[{', '.join(repr(float(x)) for x in planes[j])}]) > 0 "
         f"THEN {2**j} ELSE 0 END)"
         for j in range(_EMB_PLANES)
     )
+
+
+def _embedding_lsh_sql() -> str:
+    """Hyperplane bucket-equality join + cosine filter (see
+    `_hyperplane_bits_sql`)."""
     return f"""
       WITH bkts AS (
-        SELECT vec_id, embedding::DOUBLE[] AS v, ({bits}) AS bkt FROM embeddings)
+        SELECT vec_id, embedding::DOUBLE[] AS v, ({_hyperplane_bits_sql()}) AS bkt
+        FROM embeddings)
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              round(list_cosine_similarity(a.v, b.v), 4) AS cos
       FROM bkts a JOIN bkts b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
       WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+    """
+
+
+def _semantic_dedup_sql() -> str:
+    """Embedding-modality corpus dedup: the SAME hyperplane-bucketed pair
+    generation as `_embedding_lsh_sql`, resolved transitively by a
+    recursive reachability CTE (min id over the connected component =
+    canonical), then anti-joined — keep canonicals and unpaired vectors."""
+    return f"""
+      WITH RECURSIVE bkts AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v, ({_hyperplane_bits_sql()}) AS bkt
+        FROM embeddings),
+      pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM bkts a JOIN bkts b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= 0.45),
+      edges AS (SELECT id_a AS u, id_b AS w FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      reach(node, r) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.w, reach.r FROM reach JOIN edges e ON e.u = reach.node),
+      noncanon AS (
+        SELECT node AS vec_id FROM reach
+        GROUP BY node HAVING node <> min(r))
+      SELECT e.vec_id FROM embeddings e
+      WHERE e.vec_id NOT IN (SELECT vec_id FROM noncanon)
     """
 
 
