@@ -758,11 +758,16 @@ class LakeTable:
         partition's target files straight from storage inside the Python
         worker; only the change batch ever shuffles. Falls back to the
         union path for manifests predating the split record."""
+        import sys as _sys
+        import time as _time
+
         from go_tfdata_spark.operators.arrow_fold import (
             aligned_lww_fold,
             fold_partition_map,
         )
 
+        _timing = os.environ.get("SPARK_GRAFT_TIMING") == "1"
+        _t0 = _time.time()
         m = self._next_manifest({"operation": "merge", **(summary or {})})
         src = self._conform(source, m.schema)
         if affected is None:
@@ -804,6 +809,10 @@ class LakeTable:
         commit_dir = os.path.join(_DATA_DIR, uuid.uuid4().hex)
         abs_dir = os.path.join(self.path, commit_dir)
         os.makedirs(abs_dir, exist_ok=True)
+        if _timing:
+            print(f"TIMING merge_prologue {_time.time() - _t0:.2f}s",
+                  file=_sys.stderr, flush=True)
+            _t0 = _time.time()
         merged = aligned_lww_fold(
             fold_input,
             key_cols=key_cols,
@@ -824,6 +833,10 @@ class LakeTable:
             (os.path.relpath(r["path"], self.path), int(r["bucket"]), int(r["split"]))
             for r in merged.collect()
         )
+        if _timing:
+            print(f"TIMING merge_fold_job {_time.time() - _t0:.2f}s",
+                  file=_sys.stderr, flush=True)
+            _t0 = _time.time()
         m.files = untouched + [
             {"path": p, "bucket": b, "split": s} for p, b, s in written
         ]
@@ -832,6 +845,9 @@ class LakeTable:
         if finalize is not None:
             finalize(m)
         self._publish(m)
+        if _timing:
+            print(f"TIMING merge_publish {_time.time() - _t0:.2f}s",
+                  file=_sys.stderr, flush=True)
         return m
 
     def compact(
