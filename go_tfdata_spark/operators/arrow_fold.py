@@ -512,3 +512,211 @@ def fold_lineage_counts(acc_value: dict) -> dict:
         for k, n in counts.items():
             total[k] = total.get(k, 0) + n
     return total
+
+
+def fold_lineage_counts_epoch(acc_value: dict, epoch: int) -> dict:
+    """Sum a FUSED fold's per-partition {epoch: {(src_part, deleted): n}}
+    maps into one map for the given epoch."""
+    total: dict = {}
+    for per_epoch in acc_value.values():
+        for k, n in (per_epoch.get(int(epoch)) or {}).items():
+            total[k] = total.get(k, 0) + n
+    return total
+
+
+def aligned_lww_fold_fused(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    bucket_by: str,
+    num_buckets: int,
+    splits: int,
+    split_by: str | list[str],
+    epoch_col: str,
+    epochs: list[int],
+    write_dirs: dict[int, str],
+    target_files: dict[int, list] | None = None,
+    lineage_acc=None,
+    parquet_codec: str = "snappy",
+) -> DataFrame:
+    """FUSED multi-epoch aligned merge: ONE scan + ONE shuffle for a chunk
+    of consecutive epochs, the winner state carried IN MEMORY across the
+    chunk inside each fold worker.
+
+    The per-epoch replay re-reads the full winner table from parquet at
+    the start of every epoch's fold (the target-local read) — O(table)
+    read+decode PER EPOCH. At 10^4-epoch catch-up scale that is 10^4 full
+    table re-reads; fused chunks make it one read per chunk. Correctness
+    rests on LWW associativity: the winner set after epoch e equals the
+    fold of (chunk-start state ∪ batches ≤ e), so folding state with each
+    epoch's rows in ascending order reproduces every intermediate
+    snapshot exactly (tombstones are retained rows, so state only grows).
+
+    Input `df` is physical-shape rows PLUS `epoch_col`. Rows shuffle once,
+    routed by the same (bucket, split) expression as the single-epoch
+    fold; each task buffers arrivals per epoch, then folds epochs in
+    order: state <- winner(state ∪ rows_e), writes the state of every
+    (bucket, split) that epoch touched into `write_dirs[e]` (write-in-fold
+    contract: attempt-unique files, manifest entries as output), and
+    reports that epoch's batch self-winner counts through `lineage_acc`
+    as {pid: {epoch: {(src_part, deleted): n}}} (replace-on-merge keeps
+    retries idempotent). Output rows: (path, bucket, split, nrows, epoch).
+
+    Memory: a task holds its partition's chunk rows + winner state —
+    chunk length bounds the buffered batch volume; the chunk size knob
+    lives in replay(). Target-local + write-in-fold only (the fused path
+    exists for steady-state COW replay; sparse/broadcast epochs break the
+    chunk in replay())."""
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+    from pyspark.sql.pandas.types import to_arrow_type
+    from pyspark.sql.types import StructField, StructType
+
+    from go_tfdata_spark.lake.table import bucket_expr, split_expr
+
+    bcol, scol, ecol = "_fold_bucket", "_fold_split", "_fold_epoch"
+    for c in (bcol, scol, ecol):
+        assert c not in df.columns or c == epoch_col, c
+    work = (
+        df.withColumnRenamed(epoch_col, ecol)
+        .withColumn(bcol, bucket_expr(bucket_by, num_buckets).cast("int"))
+        .withColumn(scol, split_expr(split_by, splits).cast("int"))
+    )
+    out_fields = [
+        f for f in df.schema.fields if f.name != epoch_col
+    ]
+    pa_schema = pa.schema(
+        [pa.field(f.name, to_arrow_type(f.dataType)) for f in out_fields]
+    )
+    cols = [f.name for f in out_fields]
+    work_cols = cols + [bcol, scol, ecol]
+    sort_cols = list(order_cols)
+    slim_cols = list(dict.fromkeys([*key_cols, *sort_cols, "_src_part", "_deleted"]))
+    epochs = sorted(int(e) for e in epochs)
+    wdirs = {int(e): d for e, d in write_dirs.items()}
+    out_schema = StructType([
+        StructField("path", T.StringType(), False),
+        StructField("bucket", T.IntegerType(), False),
+        StructField("split", T.IntegerType(), False),
+        StructField("nrows", T.LongType(), False),
+        StructField("epoch", T.LongType(), False),
+    ])
+
+    def fold(batches):
+        import uuid as _uuid
+
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        state = None  # pa.Table with bcol/scol appended
+        init: list = []
+        if target_files:
+            for entry in target_files.get(pid, []):
+                path, fb, fs = entry
+                t = _conform_arrow(pq.read_table(path), pa_schema)
+                t = t.append_column(
+                    bcol, pa.array([fb] * len(t), pa.int32())
+                ).append_column(scol, pa.array([fs] * len(t), pa.int32()))
+                if len(t):
+                    init.append(t)
+        if init:
+            # pre-resolve carried state once (MOR deltas in the target file
+            # set fold to their winners here)
+            state = _winner_table(
+                pa.concat_tables(init, promote_options="default"),
+                key_cols, sort_cols,
+            )
+        per_epoch: dict[int, list] = {}
+        for rb in batches:
+            t = pa.Table.from_batches([rb]).select(work_cols)
+            for e in pc.unique(t[ecol]).to_pylist():
+                per_epoch.setdefault(int(e), []).append(
+                    t.filter(pc.equal(t[ecol], pa.scalar(e))).drop_columns([ecol])
+                )
+        entries_out: list = []
+        lin: dict[int, dict] = {}
+        isb = "_fold_isb"
+        for e in epochs:
+            ebufs = per_epoch.pop(e, None)
+            if not ebufs:
+                continue  # this partition saw no rows for e: files reused
+            erows = pa.concat_tables(ebufs, promote_options="default")
+            if lineage_acc is not None:
+                # ONE sort per epoch: the batch self-winners ride the main
+                # fold via a per-row flag + conditional-rank aggregate
+                # (same trick as the single-epoch fold — a separate slim
+                # sort per epoch measured ~25% slower at 20M x 8 cores)
+                erows = erows.append_column(
+                    isb, pa.array([True] * len(erows), pa.bool_())
+                )
+                tables = [erows]
+                if state is not None:
+                    tables.insert(0, state.append_column(
+                        isb, pa.array([False] * len(state), pa.bool_())
+                    ))
+                cur = (
+                    pa.concat_tables(tables, promote_options="default")
+                    if len(tables) > 1 else tables[0]
+                )
+                state, batch_slim = _winner_and_batch_table(
+                    cur, key_cols, sort_cols, isb, slim_cols
+                )
+                state = state.drop_columns([isb])
+                grp = batch_slim.select(["_src_part", "_deleted"]).group_by(
+                    ["_src_part", "_deleted"], use_threads=False
+                ).aggregate([([], "count_all")])
+                counts = {}
+                for sp, dl, n in zip(
+                    grp["_src_part"].to_pylist(),
+                    grp["_deleted"].to_pylist(),
+                    grp["count_all"].to_pylist(),
+                ):
+                    counts[(int(sp), bool(dl))] = int(n)
+                lin[e] = counts
+            else:
+                tables = ([state] if state is not None else []) + [erows]
+                state = _winner_table(
+                    pa.concat_tables(tables, promote_options="default")
+                    if len(tables) > 1 else tables[0],
+                    key_cols, sort_cols,
+                )
+            # write the (bucket, split) states THIS epoch touched here;
+            # untouched (bucket, split) files are carried forward by the
+            # driver's manifest construction
+            combos = erows.select([bcol, scol]).group_by(
+                [bcol, scol], use_threads=False
+            ).aggregate([])
+            for b, s in zip(combos[bcol].to_pylist(), combos[scol].to_pylist()):
+                mask = pc.and_(
+                    pc.equal(state[bcol], pa.scalar(b, pa.int32())),
+                    pc.equal(state[scol], pa.scalar(s, pa.int32())),
+                )
+                part = state.filter(mask).select(cols)
+                d = os.path.join(wdirs[e], f"_bucket={int(b)}", f"_split={int(s)}")
+                os.makedirs(d, exist_ok=True)
+                fname = f"part-{pid:05d}-{_uuid.uuid4().hex}.parquet"
+                fpath = os.path.join(d, fname)
+                pq.write_table(part, fpath, compression=parquet_codec)
+                entries_out.append((fpath, int(b), int(s), len(part), e))
+        if lineage_acc is not None and lin:
+            lineage_acc.add({pid: lin})
+        if entries_out:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([x[0] for x in entries_out], pa.string()),
+                    pa.array([x[1] for x in entries_out], pa.int32()),
+                    pa.array([x[2] for x in entries_out], pa.int32()),
+                    pa.array([x[3] for x in entries_out], pa.int64()),
+                    pa.array([x[4] for x in entries_out], pa.int64()),
+                ],
+                names=["path", "bucket", "split", "nrows", "epoch"],
+            )
+
+    pid_expr = (
+        F.col(bcol).cast("long") * F.lit(splits) + F.col(scol).cast("long")
+    )
+    rep = work.repartition(num_buckets * splits, pid_expr)
+    return rep.mapInArrow(fold, out_schema)

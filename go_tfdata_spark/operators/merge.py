@@ -368,7 +368,8 @@ def validate_changes(
 
 
 def physical_rows(
-    changes: DataFrame, key_cols: list[str] = list(KEY_COLUMNS)
+    changes: DataFrame, key_cols: list[str] = list(KEY_COLUMNS),
+    extra_cols: tuple = (),
 ) -> DataFrame:
     """Project raw change events to physical-table row shape WITHOUT
     folding: op/lsn/src_part become _deleted/_lsn/_src_part and delete
@@ -377,7 +378,10 @@ def physical_rows(
     Pre-nulling delete payloads commutes with the fold — if a delete wins,
     the winner row is identical to folding first; if it loses, its payload
     is discarded either way — which is what lets the aligned merge fold
-    batch and target in ONE pass."""
+    batch and target in ONE pass.
+
+    `extra_cols` pass through unmodified (never nulled) — the fused
+    multi-epoch merge keeps the epoch column for routing this way."""
     is_del = F.col("op") == F.lit("D")
     payload = [
         c for c in changes.columns if c not in key_cols and c not in CHANGE_META
@@ -392,6 +396,7 @@ def physical_rows(
         F.col("src_part").alias("_src_part"),
         is_del.alias("_deleted"),
     ]
+    cols += [F.col(c) for c in extra_cols]
     return changes.select(*cols)
 
 
@@ -554,6 +559,27 @@ def precompute_epoch_stats(
     return stats
 
 
+def _resolve_strategy(merge_strategy: str, batch_events: int | None) -> str:
+    """Resolve 'auto': sparse batches (key set small enough to BROADCAST)
+    -> passthrough merge (target rows never shuffle); dense batches -> the
+    aligned Arrow merge (ONE payload shuffle straight onto the write
+    layout). Gated on the estimated broadcast BYTES, not a row count: the
+    hint is honored unconditionally by Spark, so the gate must bound driver
+    memory. Raw event count is a (conservative) upper bound on the
+    distinct-key count and comes free from the offsets aggregate."""
+    if merge_strategy != "auto":
+        return merge_strategy
+    from go_tfdata_spark.lake.table import _BROADCAST_MAX_BYTES
+
+    est_key_bytes = 96  # conv_id string + turn_idx int, pessimistic
+    return (
+        "broadcast"
+        if (batch_events is not None
+            and batch_events * est_key_bytes <= _BROADCAST_MAX_BYTES)
+        else "aligned"
+    )
+
+
 def apply_changes(
     table: LakeTable,
     changes: DataFrame,
@@ -599,26 +625,10 @@ def apply_changes(
         lineage = _lineage_base(changes) if collect_lineage else []
         affected = None
     summary = {"job_id": job_id, "epoch": int(epoch), "lineage": lineage}
-    strategy = merge_strategy
     batch_events = (
         sum(r["offsets_applied"] for r in lineage) if lineage else None
     )
-    if strategy == "auto":
-        # Sparse batches (key set small enough to BROADCAST) -> passthrough
-        # merge (target rows never shuffle); dense batches -> the aligned
-        # Arrow merge (ONE payload shuffle straight onto the write layout).
-        # Gated on the estimated broadcast BYTES, not a row count: the hint
-        # is honored unconditionally by Spark, so the gate must bound driver
-        # memory. Raw event count is a (conservative) upper bound on the
-        # distinct-key count and comes free from the offsets aggregate.
-        from go_tfdata_spark.lake.table import _BROADCAST_MAX_BYTES
-
-        est_key_bytes = 96  # conv_id string + turn_idx int, pessimistic
-        strategy = (
-            "broadcast"
-            if (batch_events is not None and batch_events * est_key_bytes <= _BROADCAST_MAX_BYTES)
-            else "aligned"
-        )
+    strategy = _resolve_strategy(merge_strategy, batch_events)
     # Winner-op counts (rows_upserted/deleted): for the dense strategies
     # they ride the merge fold via an accumulator (no extra scan/shuffle);
     # the sparse strategies run the cheap slim fold up front.
@@ -734,6 +744,80 @@ def apply_changes(
     return ApplyResult(job_id, epoch, skipped=False, version=m.version, lineage=lineage)
 
 
+def apply_changes_fused(
+    table: LakeTable,
+    changes: DataFrame,
+    job_id: str,
+    epochs: list[int],
+    stats: dict[int, dict],
+    key_cols: list[str] = list(KEY_COLUMNS),
+    order_cols: list[str] = list(LWW_ORDER_COLUMNS),
+    epoch_col: str = "epoch",
+    evolve_schema: bool = True,
+    collect_lineage: bool = True,
+) -> list[ApplyResult]:
+    """Apply a CHUNK of consecutive uncommitted dense epochs as ONE fold
+    job (see LakeTable.merge_aligned_fused): one scan + one shuffle for
+    the chunk, the carried winner state read once and held in-worker, one
+    atomic ledger-carrying commit per epoch. Semantically identical to
+    applying the epochs through `apply_changes` in order — every
+    intermediate snapshot, every lineage row, the same exactly-once
+    ledger. replay() picks the chunks; callers never need this directly."""
+    validate_changes(changes, key_cols, order_cols)
+    if evolve_schema:
+        known = set(table.schema().fieldNames()) | set(CHANGE_META) | set(key_cols)
+        new_fields = [f for f in changes.schema.fields if f.name not in known]
+        if new_fields:
+            table.update_schema(new_fields, summary={"job_id": job_id})
+    epochs = sorted(int(e) for e in epochs)
+    summaries: dict[int, dict] = {}
+    affected: dict[int, list | None] = {}
+    lineage_by_epoch: dict[int, list] = {}
+    for e in epochs:
+        lineage_by_epoch[e] = stats[e].get("lineage", [])
+        summaries[e] = {
+            "job_id": job_id, "epoch": int(e), "lineage": lineage_by_epoch[e]
+        }
+        affected[e] = stats[e].get("affected")
+    needs_counts = collect_lineage and any(
+        ln["rows_upserted"] is None
+        for e in epochs
+        for ln in lineage_by_epoch[e]
+    )
+    acc = None
+    finalize_by_epoch = None
+    if needs_counts:
+        from go_tfdata_spark.operators.arrow_fold import (
+            fold_lineage_counts_epoch,
+            lineage_accumulator,
+        )
+
+        acc = lineage_accumulator(table.spark)
+
+        def finalize_by_epoch(e, m, _acc=acc):  # noqa: ANN001
+            _fill_lineage(
+                lineage_by_epoch[e], fold_lineage_counts_epoch(_acc.value, e)
+            )
+
+    chunk = changes.filter(F.col(epoch_col).isin(epochs))
+    src = physical_rows(chunk, key_cols, extra_cols=(epoch_col,))
+    ms = table.merge_aligned_fused(
+        src,
+        epoch_col=epoch_col,
+        summaries=summaries,
+        key_cols=key_cols,
+        order_cols=["ts", "_lsn", "_src_part"],
+        affected_by_epoch=affected,
+        lineage_acc=acc,
+        finalize_by_epoch=finalize_by_epoch,
+    )
+    return [
+        ApplyResult(job_id, e, skipped=False, version=m.version,
+                    lineage=lineage_by_epoch[e])
+        for e, m in zip(epochs, ms)
+    ]
+
+
 def replay(
     table: LakeTable,
     changes: DataFrame,
@@ -741,6 +825,7 @@ def replay(
     epoch_col: str = "epoch",
     collect_lineage: bool = True,
     parallel_epochs: int = 1,
+    fuse_epochs: int | None = None,
     **apply_kwargs,
 ) -> list[ApplyResult]:
     """Batch-replay driver: apply a change log epoch by epoch (the reference's
@@ -753,6 +838,17 @@ def replay(
     All per-epoch statistics (lineage, affected buckets) are computed in one
     up-front job (`precompute_epoch_stats`); each epoch then costs exactly
     one merge-write job plus a manifest commit.
+
+    FUSED chunks (`fuse_epochs`, default $SPARK_GRAFT_FUSE_EPOCHS or 8):
+    runs of consecutive uncommitted DENSE epochs apply as one fold job per
+    chunk (`apply_changes_fused`) — one scan + one shuffle + one carried-
+    state read per chunk instead of per epoch, with the identical
+    per-epoch manifests/ledger/lineage. Sparse (broadcast) epochs,
+    already-committed epochs, MOR mode, and legacy table layouts break or
+    bypass chunks and go through the per-epoch path; `fuse_epochs=1`
+    disables fusion entirely. Crash recovery granularity is the chunk: a
+    kill mid-chunk commits the published prefix and the ledger re-runs
+    only the remainder.
     """
     import os as _os
     import sys as _sys
@@ -802,7 +898,61 @@ def replay(
         # is preserved: each epoch is its own CAS-retried ledger commit.
         with ThreadPoolExecutor(max_workers=parallel_epochs) as ex:
             return list(ex.map(_one, epochs))
-    return [_one(e) for e in epochs]
+    if fuse_epochs is None:
+        fuse_epochs = int(_os.environ.get("SPARK_GRAFT_FUSE_EPOCHS", "8"))
+    merge_strategy = apply_kwargs.get("merge_strategy", "auto")
+    layout_ok = (
+        fuse_epochs > 1
+        and merge_strategy in ("auto", "aligned")
+        and all("split" in f for f in table.snapshot().files)
+        # fused ignores these per-epoch knobs; their presence means the
+        # caller wants the per-epoch path
+        and not apply_kwargs.get("salt_buckets")
+        and not apply_kwargs.get("auto_compact_deltas")
+    )
+    if not layout_ok:
+        return [_one(e) for e in epochs]
+
+    results: list[ApplyResult] = []
+    run: list[int] = []
+
+    def _fused_run() -> None:
+        nonlocal run
+        for i in range(0, len(run), fuse_epochs):
+            chunk = run[i:i + fuse_epochs]
+            if len(chunk) == 1:
+                results.append(_one(chunk[0]))
+                continue
+            _tc = _time.time()
+            results.extend(apply_changes_fused(
+                table, changes, job_id, chunk, stats,
+                key_cols=apply_kwargs.get("key_cols", list(KEY_COLUMNS)),
+                order_cols=apply_kwargs.get("order_cols", list(LWW_ORDER_COLUMNS)),
+                epoch_col=epoch_col,
+                evolve_schema=apply_kwargs.get("evolve_schema", True),
+                collect_lineage=collect_lineage,
+            ))
+            if _timing:
+                print(f"TIMING fused_chunk={chunk[0]}..{chunk[-1]} "
+                      f"{_time.time() - _tc:.2f}s", file=_sys.stderr, flush=True)
+        run = []
+
+    for e in epochs:
+        lineage = stats[e].get("lineage", [])
+        batch_events = (
+            sum(r["offsets_applied"] for r in lineage) if lineage else None
+        )
+        fusable = (
+            not table.is_committed(job_id, int(e))
+            and _resolve_strategy(merge_strategy, batch_events) == "aligned"
+        )
+        if fusable:
+            run.append(e)
+        else:
+            _fused_run()
+            results.append(_one(e))
+    _fused_run()
+    return results
 
 
 def lineage_metrics(table: LakeTable, job_id: str | None = None) -> DataFrame:

@@ -324,7 +324,10 @@ def test_aligned_replay_matches_oracle(spark, tmp_path, kwargs, name):
     produce the identical final state as the sequential per-event oracle."""
     changes = synthetic_changes(spark, seed=43, **kwargs)
     table, _ = _roundtrip(spark, tmp_path, changes, name, merge_strategy="aligned")
-    assert table.snapshot().summary["merge_strategy"] == "aligned"
+    # multi-epoch runs fuse by default (r7): both tags are the zipper path
+    assert table.snapshot().summary["merge_strategy"] in (
+        "aligned", "aligned-fused"
+    )
 
 
 def test_aligned_merge_write_is_presharded(spark, tmp_path):
@@ -426,3 +429,84 @@ def test_aligned_schema_evolution_reads_old_files_locally(spark, tmp_path):
     assert_final_state_equal(df.select("conv_id", "turn_idx", *PAYLOAD), oracle)
     assert df.filter("meta IS NOT NULL").count() > 0
     assert df.filter("meta IS NULL").count() > 0
+
+
+def _snap_map(table, epoch, job):
+    return {
+        (r["conv_id"], r["turn_idx"]): (r["role"], r["text"], r["ts"])
+        for r in read_table(table, as_of_epoch=epoch, job_id=job).collect()
+    }
+
+
+def test_fused_replay_equals_per_epoch(spark, tmp_path):
+    """Fused chunks must be observationally IDENTICAL to per-epoch
+    replay: every intermediate snapshot (time travel), the final state,
+    the lineage table, and the change feed built over the fused manifests
+    (which replace files at (bucket, split) granularity)."""
+    from go_tfdata_spark.operators.merge import table_changes_range
+
+    changes = synthetic_changes(
+        spark, n_events=4000, n_epochs=5, delete_frac=0.15, late_frac=0.25,
+        seed=13,
+    )
+    t1 = create_transcripts_table(
+        spark, str(tmp_path / "a"), TRANSCRIPTS_SCHEMA, num_buckets=4)
+    t2 = create_transcripts_table(
+        spark, str(tmp_path / "b"), TRANSCRIPTS_SCHEMA, num_buckets=4)
+    r1 = replay(t1, changes, job_id="j", fuse_epochs=1,
+                merge_strategy="aligned")
+    r2 = replay(t2, changes, job_id="j", fuse_epochs=3,
+                merge_strategy="aligned")  # chunks [0,1,2], [3,4]
+    assert [r.epoch for r in r2] == [r.epoch for r in r1]
+    for e in range(5):
+        assert _snap_map(t2, e, "j") == _snap_map(t1, e, "j"), f"epoch {e}"
+    lin = lambda t: sorted(  # noqa: E731
+        tuple(r) for r in lineage_metrics(t, "j").collect()
+    )
+    assert lin(t2) == lin(t1)
+    # the change feed over fused manifests reproduces every snapshot
+    rows1 = {
+        (r["conv_id"], r["turn_idx"], r["_change_type"], r["_commit_epoch"])
+        for r in table_changes_range(t1, "j", 0, 4).collect()
+    }
+    rows2 = {
+        (r["conv_id"], r["turn_idx"], r["_change_type"], r["_commit_epoch"])
+        for r in table_changes_range(t2, "j", 0, 4).collect()
+    }
+    assert rows1 == rows2
+
+
+def test_fused_replay_resumes_mid_chunk(spark, tmp_path):
+    """A replay interrupted at a chunk boundary (prefix of epochs
+    committed) resumes through the ledger: committed epochs skip, the
+    rest fuse into a fresh chunk, final state matches the oracle."""
+    changes = synthetic_changes(
+        spark, n_events=3000, n_epochs=5, delete_frac=0.1, late_frac=0.2,
+        seed=17,
+    )
+    table = create_transcripts_table(
+        spark, str(tmp_path / "t"), TRANSCRIPTS_SCHEMA, num_buckets=4)
+    replay(table, changes.filter(F.col("epoch") <= 1), job_id="j",
+           fuse_epochs=4, merge_strategy="aligned")
+    results = replay(table, changes, job_id="j", fuse_epochs=4,
+                     merge_strategy="aligned")
+    assert [r.epoch for r in results if r.skipped] == [0, 1]
+    assert [r.epoch for r in results if not r.skipped] == [2, 3, 4]
+    oracle = sequential_apply(changes.toPandas(), PAYLOAD)
+    assert_final_state_equal(read_table(table), oracle)
+
+
+def test_fused_chunk_breaks_on_sparse_epoch(spark, tmp_path):
+    """Under merge_strategy='auto' small epochs resolve to the broadcast
+    path and must BREAK fused runs (fused is the dense path only); the
+    result is still oracle-identical."""
+    changes = synthetic_changes(
+        spark, n_events=2500, n_epochs=4, delete_frac=0.1, late_frac=0.2,
+        seed=19,
+    )
+    table = create_transcripts_table(
+        spark, str(tmp_path / "t"), TRANSCRIPTS_SCHEMA, num_buckets=4)
+    results = replay(table, changes, job_id="j", fuse_epochs=4)  # auto
+    assert [r.epoch for r in results] == [0, 1, 2, 3]
+    oracle = sequential_apply(changes.toPandas(), PAYLOAD)
+    assert_final_state_equal(read_table(table), oracle)
