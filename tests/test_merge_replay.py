@@ -510,3 +510,55 @@ def test_fused_chunk_breaks_on_sparse_epoch(spark, tmp_path):
     assert [r.epoch for r in results] == [0, 1, 2, 3]
     oracle = sequential_apply(changes.toPandas(), PAYLOAD)
     assert_final_state_equal(read_table(table), oracle)
+
+
+def test_fused_replay_with_schema_evolution(spark, tmp_path):
+    """A fused chunk whose changes carry NEW columns must evolve the table
+    once up front and produce the same result as the per-epoch path."""
+    changes = with_v2_columns(synthetic_changes(
+        spark, n_events=2000, n_epochs=4, delete_frac=0.1, late_frac=0.2,
+        seed=29,
+    ))
+    t1 = create_transcripts_table(
+        spark, str(tmp_path / "a"), TRANSCRIPTS_SCHEMA, num_buckets=4)
+    t2 = create_transcripts_table(
+        spark, str(tmp_path / "b"), TRANSCRIPTS_SCHEMA, num_buckets=4)
+    replay(t1, changes, job_id="j", fuse_epochs=1, merge_strategy="aligned")
+    replay(t2, changes, job_id="j", fuse_epochs=4, merge_strategy="aligned")
+    assert "tool_args" in t2.schema().fieldNames()
+    assert "meta" in t2.schema().fieldNames()
+    rows = lambda t: {  # noqa: E731
+        (r["conv_id"], r["turn_idx"], r["text"], r["tool_args"],
+         tuple(sorted((r["meta"] or {}).items())))
+        for r in read_table(t).collect()
+    }
+    assert rows(t2) == rows(t1)
+
+
+def test_fused_replay_resolves_mor_delta_target(spark, tmp_path):
+    """Fused COW replay on top of a table carrying UNRESOLVED MOR deltas:
+    the fold's chunk-start state must LWW-resolve base+delta files before
+    folding the new epochs (the init pre-resolve path)."""
+    first = synthetic_changes(
+        spark, n_events=1200, n_epochs=2, delete_frac=0.1, late_frac=0.2,
+        seed=31,
+    )
+    table = create_transcripts_table(
+        spark, str(tmp_path / "t"), TRANSCRIPTS_SCHEMA, num_buckets=4)
+    replay(table, first, job_id="j", merge_strategy="mor")
+    assert table.snapshot().has_deltas
+    later = (
+        synthetic_changes(
+            spark, n_events=1200, n_epochs=2, delete_frac=0.1,
+            late_frac=0.2, seed=32,
+        )
+        .withColumn("epoch", F.col("epoch") + F.lit(2))
+        .withColumn("lsn", F.col("lsn") + F.lit(10_000_000))
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 30 DAYS"))
+    )
+    replay(table, later, job_id="j", fuse_epochs=4, merge_strategy="aligned")
+    all_changes = first.unionByName(
+        later.select(*first.columns)
+    )
+    oracle = sequential_apply(all_changes.toPandas(), PAYLOAD)
+    assert_final_state_equal(read_table(table), oracle)
