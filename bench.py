@@ -257,6 +257,29 @@ def calibrate_child(cores: int, kind: str = "cpu", scale: float = 1.0) -> None:
       how it is partitioned."""
     import time as _t
 
+    if kind == "arrowsort":
+        # kind='arrowsort': the fold's OWN worker primitive — pyarrow
+        # stable sort_indices on the (ts, lsn, src) order tuple + per-key
+        # max-rank group_by + wide-payload take, run as `cores` concurrent
+        # PYTHON processes over partition-sized tables (exactly what the
+        # 128 fold tasks do). The cpu/string probes are JVM codegen loops;
+        # the replay's reduce stages are python/pyarrow memory-streaming
+        # work with a different bandwidth/allocator profile — this probe
+        # is the matching null model (fixed TOTAL work, pool of `cores`).
+        import multiprocessing as _mp
+
+        units = 16
+        with _mp.Pool(processes=cores) as pool:
+            # warm: every pool process imports pyarrow/numpy + JITs the
+            # kernel BEFORE the timed region (process startup is not the
+            # quantity being measured)
+            pool.map(_arrowsort_unit, [int(2e4)] * (cores * 2))
+            t0 = _t.time()
+            pool.map(_arrowsort_unit, [int(4e5 * scale)] * units)
+            dt = _t.time() - t0
+        print(json.dumps({"cores": cores, "sec": dt, "kind": kind}))
+        return
+
     from pyspark.sql import functions as F
 
     from go_tfdata_spark.session import get_spark
@@ -280,6 +303,34 @@ def calibrate_child(cores: int, kind: str = "cpu", scale: float = 1.0) -> None:
     dt = _t.time() - t0
     spark.stop()
     print(json.dumps({"cores": cores, "sec": dt, "kind": kind}))
+
+
+def _arrowsort_unit(n_rows: int) -> int:
+    """One arrow-sort work unit (see calibrate_child kind='arrowsort'):
+    the engine's winner kernel over a synthetic partition-sized table with
+    the transcript shape (string keys, 3-col order tuple, 256-char text)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from go_tfdata_spark.operators.arrow_fold import _winner_table
+
+    rng = np.random.default_rng(7)
+    conv = pa.array((rng.integers(0, n_rows // 8, n_rows)).astype("U12"))
+    turn = pa.array(rng.integers(0, 8, n_rows), pa.int32())
+    ts = pa.array(rng.integers(0, 10**9, n_rows), pa.int64())
+    lsn = pa.array(np.arange(n_rows), pa.int64())
+    src = pa.array(rng.integers(0, 4, n_rows), pa.int32())
+    base = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do "
+    text = pa.array([(base * 5)[: CDC_TEXT_CHARS]] * n_rows)
+    t = pa.table(
+        {"conv_id": conv, "turn_idx": turn, "ts": ts, "_lsn": lsn,
+         "_src_part": src, "text": text}
+    )
+    total = 0
+    for _ in range(3):
+        w = _winner_table(t, ["conv_id", "turn_idx"], ["ts", "_lsn", "_src_part"])
+        total += len(w)
+    return total
 
 
 def _calibrate_rep(cores: int, kind: str, scale: float = 1.0) -> dict:
@@ -540,6 +591,21 @@ def run_cdc_scaling_primary(
         ]
         if norm is not None:
             result["efficiency_vs_stringwork_ceiling"] = round(norm, 3)
+    try:
+        # arrow-sort ceiling: the fold's own python/pyarrow primitive (the
+        # replay's reduce stages), a different machine null model than the
+        # JVM codegen probes — see calibrate_child. One end-of-run pair.
+        alo = _calibrate_rep(lo, "arrowsort")
+        ahi = _calibrate_rep(hi, "arrowsort")
+        aeff = round((alo["sec"] / ahi["sec"]) / (hi / lo), 3)
+        result["arrowwork_sec_lo"] = round(alo["sec"], 2)
+        result["arrowwork_sec_hi"] = round(ahi["sec"], 2)
+        result["arrowwork_ceiling_efficiency"] = aeff
+        result["arrowwork_probe_steal"] = [alo.get("steal_pct"), ahi.get("steal_pct")]
+        if aeff:
+            result["efficiency_vs_arrowwork_ceiling"] = round(eff / aeff, 3)
+    except Exception as e:  # probe is context, never fails the capture
+        result["arrowwork_error"] = str(e)[:200]
     result["pair_wall_sec"] = round(out[lo]["wall"] + out[hi]["wall"], 1)
     result.update(extras)
     # progress line on stderr: if an outer harness timeout kills the run
