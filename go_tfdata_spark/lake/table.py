@@ -1029,12 +1029,18 @@ class LakeTable:
         if m.key_cols and m.order_cols:
             # Keyed table: resolve (MOR deltas + duplicate versions) with the
             # bucket-aligned Arrow fold — one shuffle straight onto the write
-            # layout, presharded write (vs encoded fold + a second
-            # repartition). Tombstone purge must follow resolution: dropping
-            # tombstone rows first would let an older live version win.
+            # layout, files written IN the fold workers (same write-in-fold
+            # contract as merges: attempt-unique files, manifest entries as
+            # the job output, zero post-shuffle process crossings).
+            # Tombstone purge happens inside the fold AFTER resolution
+            # (dropping tombstone rows first would let an older live
+            # version win back).
             from go_tfdata_spark.operators.arrow_fold import aligned_lww_fold
 
-            df = aligned_lww_fold(
+            commit_dir = os.path.join(_DATA_DIR, uuid.uuid4().hex)
+            abs_dir = os.path.join(self.path, commit_dir)
+            os.makedirs(abs_dir, exist_ok=True)
+            merged = aligned_lww_fold(
                 self.read_buckets(todo, resolve=False),
                 key_cols=m.key_cols,
                 order_cols=m.order_cols,
@@ -1042,10 +1048,20 @@ class LakeTable:
                 num_buckets=m.num_buckets,
                 splits=_WRITE_SPLITS_PER_BUCKET,
                 split_by=m.split_by or m.bucket_by,
+                write_dir=abs_dir,
+                parquet_codec=self.spark.conf.get(
+                    "spark.sql.parquet.compression.codec", "snappy"
+                ),
+                drop_deleted=bool(
+                    purge_tombstones and deleted_col in m.schema.fieldNames()
+                ),
+                deleted_col=deleted_col,
             )
-            if purge_tombstones and deleted_col in df.columns:
-                df = df.filter(~F.coalesce(F.col(deleted_col), F.lit(False)))
-            m.files = kept + self._write_data(df, m, presharded=True)
+            m.files = kept + [
+                {"path": os.path.relpath(r["path"], self.path),
+                 "bucket": int(r["bucket"]), "split": int(r["split"])}
+                for r in sorted(merged.collect(), key=lambda r: r["path"])
+            ]
         else:
             df = self.read_buckets(todo)
             if purge_tombstones and deleted_col in df.columns:

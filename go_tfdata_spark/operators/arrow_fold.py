@@ -195,8 +195,13 @@ def aligned_lww_fold(
     stream_batch: bool = False,
     write_dir: str | None = None,
     parquet_codec: str = "snappy",
+    drop_deleted: bool = False,
 ) -> DataFrame:
     """One winner row per key, output partitioned by (bucket, split).
+
+    `drop_deleted=True` filters tombstone WINNERS from the output after
+    resolution (compaction's purge path — the filter must follow the fold
+    or an older live version would win back).
 
     `splits` sub-divides each bucket so one hot bucket cannot bound the
     stage makespan (same constant as the lake's write splits). If
@@ -418,6 +423,16 @@ def aligned_lww_fold(
             lineage_acc.add({pid: counts})
         if winners is None or not len(winners):
             return
+        if drop_deleted and deleted_col in winners.column_names:
+            import pyarrow.compute as _pc
+
+            winners = winners.filter(
+                _pc.invert(_pc.fill_null(
+                    _pc.cast(winners[deleted_col], pa.bool_()), False
+                ))
+            )
+            if not len(winners):
+                return
         if write_dir is None:
             yield from winners.select(cols).to_batches(max_chunksize=65_536)
             return
