@@ -438,27 +438,157 @@ def minhash_signatures(
     """MinHash signature per document: sig[i] = min over shingles s of
     (a_i * rolling_hash(s) + b_i) mod p. Output: (id, sig array<long>).
 
-    One explode + one groupBy; the per-shingle hash family is a JVM array
-    expression, the min fold is elementwise via per-slot F.min aggregates.
+    Computed in ONE vectorized Arrow/numpy kernel, zero shuffles: the
+    normalized text equals ' '.join(tokens) (split-then-join with a single
+    separator char is the identity), so every word n-gram shingle IS a
+    contiguous substring of the normalized document — its polynomial
+    rolling hash follows in O(1) from the document's prefix-hash array
+    (hash(s[a..b]) = (H[b] - H[a-1]*31^(b-a+1)) mod p; p prime, all
+    int64-safe). No 2.6M-row shingle explode, no per-char interpreted
+    fold, no groupBy: each document is one input row, so the kernel emits
+    its final signature directly (per-doc min over the shingle hashes via
+    segmented reduction). The per-document min is insensitive to duplicate
+    shingle values, so skipping array_distinct is exact. Values are
+    bit-identical to the expression formulation (the oracle restates them
+    through DuckDB list_reduce and compares exactly).
     """
+    import pyarrow as pa
+
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
     params = _minhash_params(num_hashes, seed)
-    # No array_distinct: the per-document elementwise MIN is insensitive to
-    # duplicate shingle values, so the cheaper non-deduping codegen explode
-    # (no interpreted HOF) yields the identical signature.
-    sh = _exploded_shingles_jvm(
-        _ensure_parallelism(df, id_col), id_col, text_col, n
-    ).withColumn("x", rolling_hash(F.col("sh")))
-    hashed = sh.select(
-        id_col,
-        *[
-            ((F.col("x") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)).alias(f"h{i}")
-            for i, (a, b) in enumerate(params)
-        ],
-    )
-    agg = hashed.groupBy(id_col).agg(
-        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
-    )
-    return agg.select(id_col, F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+    a_vec = [a for a, _ in params]
+    b_vec = [b for _, b in params]
+    id_field = df.schema[id_col]
+    nn = int(n)
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        A = np.array(a_vec, dtype=np.int64)[:, None]
+        B = np.array(b_vec, dtype=np.int64)[:, None]
+        P = np.int64(_MERSENNE)
+
+        def run(ids, norm0):
+            """One bounded chunk of documents -> one output RecordBatch."""
+            nrows = len(ids)
+            null_mask = pc.is_null(norm0).to_numpy(zero_copy_only=False)
+            norm = pc.fill_null(norm0, "")
+            if isinstance(norm, pa.ChunkedArray):
+                norm = norm.combine_chunks()
+            doc_cp = pc.utf8_length(norm).to_numpy(zero_copy_only=False).astype(np.int64)
+            max_len = int(doc_cp.max()) if nrows else 0
+            # code-point matrix (docs x max_len), zero-padded. ASCII fast
+            # path reads the UTF-8 buffer directly (bytes == code points);
+            # otherwise a numpy U-array view gives exact UTF-32 points.
+            if max_len == 0:
+                cp = np.zeros((nrows, 0), dtype=np.int64)
+            elif pc.all(pc.string_is_ascii(norm), min_count=0).as_py():
+                buf = np.frombuffer(norm.buffers()[2], dtype=np.uint8)
+                offs = np.frombuffer(norm.buffers()[1], dtype=np.int32).astype(np.int64)
+                offs = offs[norm.offset: norm.offset + nrows + 1]
+                starts_b = offs[:-1]
+                gather = starts_b[:, None] + np.arange(max_len)[None, :]
+                np.minimum(gather, np.maximum(offs[1:, None] - 1, starts_b[:, None]),
+                           out=gather)
+                cp = buf[gather].astype(np.int64) if len(buf) else np.zeros(
+                    (nrows, max_len), dtype=np.int64
+                )
+                cp[np.arange(max_len)[None, :] >= doc_cp[:, None]] = 0
+            else:
+                u = np.array(norm.to_pylist(), dtype=f"U{max(max_len, 1)}")
+                cp = u.view(np.uint32).reshape(nrows, -1).astype(np.int64)
+            # prefix hashes per doc: H[:, j] = hash of first j code points
+            H = np.zeros((nrows, max_len + 1), dtype=np.int64)
+            acc = np.zeros(nrows, dtype=np.int64)
+            for j in range(max_len):
+                acc = np.where(j < doc_cp, (acc * 31 + cp[:, j]) % P, acc)
+                H[:, j + 1] = acc
+            pow31 = np.empty(max_len + 1, dtype=np.int64)
+            pow31[0] = 1
+            for j in range(1, max_len + 1):
+                pow31[j] = (pow31[j - 1] * 31) % P
+            # token boundaries: tokens = split(norm, ' '); token k spans
+            # [tok_start[k], tok_start[k] + tok_len[k]) in code points
+            toks = pc.split_pattern(norm, " ")
+            m = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+            tlen = pc.utf8_length(pc.list_flatten(toks)).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            tok_doc_start = np.concatenate(([0], np.cumsum(m)))
+            # start position of each token inside its doc
+            pos_global = np.concatenate(([0], np.cumsum(tlen + 1)))[:-1]
+            pos_in_doc = pos_global - np.repeat(pos_global[tok_doc_start[:-1]], m)
+            # shingles: docs with m >= n emit m-n+1 substrings
+            # [tok k start .. tok k+n-1 end); docs with m < n emit the
+            # whole normalized text as their single shingle
+            k = np.maximum(m - (nn - 1), 0)
+            kb = np.repeat(tok_doc_start[:-1], k)
+            within = np.arange(int(k.sum())) - np.repeat(np.cumsum(k) - k, k)
+            first_tok = kb + within
+            last_tok = first_tok + (nn - 1)
+            sub_a = pos_in_doc[first_tok]
+            sub_b = pos_in_doc[last_tok] + tlen[last_tok]  # exclusive end
+            row_of = np.repeat(np.arange(nrows), k)
+            fb_rows = np.flatnonzero(m < nn)
+            sub_a = np.concatenate([sub_a, np.zeros(len(fb_rows), dtype=np.int64)])
+            sub_b = np.concatenate([sub_b, doc_cp[fb_rows]])
+            row_of = np.concatenate([row_of, fb_rows])
+            # substring rolling hash from prefixes
+            hb = H[row_of, sub_b]
+            ha = H[row_of, sub_a]
+            x = (hb - (ha * pow31[sub_b - sub_a]) % P) % P
+            # hash family + per-doc min (the fallback block appends after
+            # the doc-contiguous n-gram block, so order by row first)
+            order = np.argsort(row_of, kind="stable")
+            row_of, x = row_of[order], x[order]
+            hx = (A * x[None, :] + B) % P  # (num_hashes, n_shingles)
+            seg = np.flatnonzero(
+                np.concatenate(([True], row_of[1:] != row_of[:-1]))
+            )
+            sig = np.minimum.reduceat(hx, seg, axis=1)  # (num_hashes, n_docs)
+            out_rows = row_of[seg]
+            out_ids = ids.take(pa.array(out_rows, pa.int64()))
+            if isinstance(out_ids, pa.ChunkedArray):
+                out_ids = out_ids.combine_chunks()
+            # null text folds exactly like the expression path: the doc
+            # keeps its row, every signature slot NULL (min over nulls)
+            vmask = np.repeat(null_mask[out_rows], num_hashes)
+            values = pa.array(sig.T.ravel(), pa.int64(),
+                              mask=vmask if vmask.any() else None)
+            offsets = pa.array(
+                np.arange(len(out_rows) + 1, dtype=np.int32) * num_hashes
+            )
+            sig_list = pa.ListArray.from_arrays(offsets, values)
+            return pa.RecordBatch.from_arrays(
+                [out_ids, sig_list], names=[id_col, "sig"]
+            )
+
+        for rb in batches:
+            nrows = len(rb)
+            if nrows == 0:
+                continue
+            norm_all = pc.replace_substring_regex(
+                pc.utf8_lower(pc.utf8_trim(rb.column(1), " ")),
+                pattern=_JAVA_WS_RE, replacement=" ",
+            )
+            if isinstance(norm_all, pa.ChunkedArray):
+                norm_all = norm_all.combine_chunks()
+            ml = pc.max(pc.utf8_length(norm_all), min_count=0).as_py() or 1
+            # bound the (rows x max_len) prefix matrices to ~32 MB
+            step = max(256, int(32e6 / (8 * (ml + 1))))
+            for i in range(0, nrows, step):
+                j = min(nrows, i + step)
+                yield run(rb.column(0).slice(i, j - i), norm_all.slice(i, j - i))
+
+    out_schema = StructType([
+        StructField(id_col, id_field.dataType, id_field.nullable),
+        StructField("sig", ArrayType(LongType()), False),
+    ])
+    work = _ensure_parallelism(df, id_col).select(F.col(id_col), F.col(text_col))
+    return work.mapInArrow(kernel, out_schema)
 
 
 def lsh_candidate_pairs(
