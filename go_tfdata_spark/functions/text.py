@@ -119,7 +119,10 @@ def rolling_hash(c: Column, mod: int = 2**31 - 1) -> Column:
     reinterpreted as signed). ANSI mode forbids overflowing multiplies, so
     the fold carries the accumulator as two 32-bit limbs (hi, lo) — each
     step stays under 2^37 — and recombines with shiftleft|or (bitwise ops,
-    overflow-exempt). Used by simhash(bits=64) for billion-doc corpora."""
+    overflow-exempt). Exists for oracle-expressible 64-bit hashing and is
+    currently exercised only by tests — simhash(bits=64) mixes with
+    xxhash64 instead (a rolling hash gains ~5 bits of entropy per char, so
+    short tokens would leave high fingerprint bits constant)."""
     chars = F.split(c, "")
     if mod == 2**64:
         mask32 = F.lit((1 << 32) - 1)

@@ -971,7 +971,7 @@ class LakeTable:
                 f for f in files
                 if (f.get("bucket"), f.get("split")) not in wkeys
             ] + written[e]
-            s = dict(summaries[e])
+            s = {"operation": "merge", **summaries[e]}
             s["affected_buckets"] = sorted(affected_by_epoch.get(e) or [])
             s["merge_strategy"] = "aligned-fused"
             m = Manifest(

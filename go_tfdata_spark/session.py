@@ -47,6 +47,18 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         # Files: keep scan partitions close to the cluster parallelism.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Per-file open-cost charge in the split packing model. The 4 MB
+        # default floors split sizes at max(openCost, bytes/cores), so a
+        # 16 MB dimension parquet scans as 4 tasks on a 32-slot box
+        # (measured: the map side of every events-table fold serialized on
+        # 4 cores). Local NVMe/tmpfs opens are ~free; 64 KB lets small
+        # tables split down to the core count. On object stores (real
+        # per-open latency) raise it back via SPARK_GRAFT_OPEN_COST —
+        # at 100 TB file sizes dwarf either value and the knob is inert.
+        .config(
+            "spark.sql.files.openCostInBytes",
+            os.environ.get("SPARK_GRAFT_OPEN_COST", "65536"),
+        )
         # Broadcast threshold: dims up to 64 MB broadcast (configurable).
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
