@@ -681,6 +681,8 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     `simhash_near_dups` degenerate (one bucket holding the whole corpus).
     xxhash64 avalanches all 64 bits regardless of token length."""
     df = _ensure_parallelism(df, id_col)
+    if bits <= 32:
+        return _simhash_arrow(df, id_col, text_col, bits)
     tok = df.select(
         F.col(id_col),
         F.explode(F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")).alias("w"),
@@ -705,6 +707,123 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
         weight = -(2**63) if i == 63 else 2**i
         acc = acc + F.when(F.col(f"b{i}") > 0, F.lit(weight).cast("long")).otherwise(0)
     return votes.select(id_col, acc.alias("simhash"))
+
+
+def _simhash_arrow(df: DataFrame, id_col: str, text_col: str, bits: int) -> DataFrame:
+    """bits<=32 SimHash in one vectorized kernel, zero shuffles: token
+    rolling hashes (mod 2^bits) come from the document's prefix-hash array
+    (every token is a substring of the normalized text — Horner prefix
+    differences are exact for any power-of-two modulus via masking), bit
+    votes are a segmented popcount, and each document emits its final
+    fingerprint directly (one input row per doc, so no groupBy). Matches
+    the expression formulation bit-for-bit, including the no-row output
+    for NULL text (explode of a null array emits nothing) and the
+    all-votes-negative zero fingerprint for empty text."""
+    import pyarrow as pa
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    id_field = df.schema[id_col]
+    nbits = int(bits)
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        MASK = np.int64((1 << nbits) - 1)
+
+        def run(ids, norm):
+            nrows = len(ids)
+            keep = ~pc.is_null(norm).to_numpy(zero_copy_only=False)
+            doc_cp = pc.utf8_length(pc.fill_null(norm, "")).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            norm_f = pc.fill_null(norm, "")
+            if isinstance(norm_f, pa.ChunkedArray):
+                norm_f = norm_f.combine_chunks()
+            max_len = int(doc_cp.max()) if nrows else 0
+            if max_len == 0:
+                cp = np.zeros((nrows, 0), dtype=np.int64)
+            elif pc.all(pc.string_is_ascii(norm_f), min_count=0).as_py():
+                buf = np.frombuffer(norm_f.buffers()[2], dtype=np.uint8)
+                offs = np.frombuffer(norm_f.buffers()[1], dtype=np.int32).astype(np.int64)
+                offs = offs[norm_f.offset: norm_f.offset + nrows + 1]
+                starts_b = offs[:-1]
+                gather = starts_b[:, None] + np.arange(max_len)[None, :]
+                np.minimum(gather, np.maximum(offs[1:, None] - 1, starts_b[:, None]),
+                           out=gather)
+                cp = buf[gather].astype(np.int64) if len(buf) else np.zeros(
+                    (nrows, max_len), dtype=np.int64
+                )
+                cp[np.arange(max_len)[None, :] >= doc_cp[:, None]] = 0
+            else:
+                u = np.array(norm_f.to_pylist(), dtype=f"U{max(max_len, 1)}")
+                cp = u.view(np.uint32).reshape(nrows, -1).astype(np.int64)
+            # prefix hashes mod 2^bits (mask keeps Horner exact)
+            H = np.zeros((nrows, max_len + 1), dtype=np.int64)
+            acc = np.zeros(nrows, dtype=np.int64)
+            for j in range(max_len):
+                acc = np.where(j < doc_cp, (acc * 31 + cp[:, j]) & MASK, acc)
+                H[:, j + 1] = acc
+            pow31 = np.empty(max_len + 1, dtype=np.int64)
+            pow31[0] = 1
+            for j in range(1, max_len + 1):
+                pow31[j] = (pow31[j - 1] * 31) & MASK
+            toks = pc.split_pattern(norm_f, " ")
+            m = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+            tlen = pc.utf8_length(pc.list_flatten(toks)).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            tok_doc_start = np.concatenate(([0], np.cumsum(m)))
+            pos_global = np.concatenate(([0], np.cumsum(tlen + 1)))[:-1]
+            pos_in_doc = pos_global - np.repeat(pos_global[tok_doc_start[:-1]], m)
+            row_of = np.repeat(np.arange(nrows), m)
+            sub_a = pos_in_doc
+            sub_b = pos_in_doc + tlen
+            # int64 wraparound is arithmetic mod 2^64; masking afterwards
+            # yields exact mod 2^bits for any power-of-two modulus
+            h = (H[row_of, sub_b] - H[row_of, sub_a] * pow31[tlen]) & MASK
+            # bit votes: ones_i per doc via segmented sums of unpacked bits
+            hb = np.empty((len(h), nbits), dtype=np.int8)
+            for i in range(nbits):
+                hb[:, i] = (h >> np.int64(i)) & np.int64(1)
+            ones = np.add.reduceat(hb, tok_doc_start[:-1], axis=0, dtype=np.int64)
+            ones[m == 0] = 0  # defensive; split always yields >=1 token
+            votes_pos = (2 * ones) > m[:, None]  # sum(+1/-1) > 0
+            weights = (1 << np.arange(nbits, dtype=np.int64))
+            sh = (votes_pos * weights[None, :]).sum(axis=1).astype(np.int64)
+            out_ids = ids.filter(pa.array(keep))
+            sh = sh[keep]
+            if isinstance(out_ids, pa.ChunkedArray):
+                out_ids = out_ids.combine_chunks()
+            return pa.RecordBatch.from_arrays(
+                [out_ids, pa.array(sh, pa.int64())], names=[id_col, "simhash"]
+            )
+
+        for rb in batches:
+            nrows = rb.num_rows
+            if nrows == 0:
+                continue
+            norm_all = pc.replace_substring_regex(
+                pc.utf8_lower(pc.utf8_trim(rb.column(1), " ")),
+                pattern=_JAVA_WS_RE, replacement=" ",
+            )
+            if isinstance(norm_all, pa.ChunkedArray):
+                norm_all = norm_all.combine_chunks()
+            ml = pc.max(pc.utf8_length(norm_all), min_count=0).as_py() or 1
+            step = max(256, int(32e6 / (8 * (ml + 1))))
+            for i in range(0, nrows, step):
+                j = min(nrows, i + step)
+                out = run(rb.column(0).slice(i, j - i), norm_all.slice(i, j - i))
+                if out.num_rows:
+                    yield out
+
+    out_schema = StructType([
+        StructField(id_col, id_field.dataType, id_field.nullable),
+        StructField("simhash", LongType(), False),
+    ])
+    return df.select(F.col(id_col), F.col(text_col)).mapInArrow(kernel, out_schema)
 
 
 def simhash_near_dups(
