@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from go_tfdata_spark.functions.text import fingerprint, rolling_hash, word_shingles
+from go_tfdata_spark.functions.text import fingerprint, rolling_hash
 
 _MERSENNE = 2**31 - 1
 
