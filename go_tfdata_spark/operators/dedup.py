@@ -305,16 +305,23 @@ def shingle_jaccard_pairs(
     grp = sh.groupBy("sh").agg(F.collect_list("doc").alias("docs"))
     if max_doc_freq is not None:
         grp = grp.filter(F.size("docs") <= max_doc_freq)
-    grp = _take_cache(grp.select(F.array_sort("docs").alias("docs")))
-    sizes = grp.select(F.explode("docs").alias("doc")).groupBy("doc").agg(
-        F.count("*").alias("sz")
+    grp = grp.select(F.array_sort("docs").alias("docs"))
+    id_type = df.schema[id_col].dataType
+    arrow_ids = isinstance(
+        id_type, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)
     )
+    if not arrow_ids:
+        # the generic path consumes grp twice (sizes + pair expansion):
+        # cache the narrow array rows so the explode+groupBy runs once
+        grp = _take_cache(grp)
+        sizes = grp.select(F.explode("docs").alias("doc")).groupBy("doc").agg(
+            F.count("*").alias("sz")
+        )
     ex = grp.select(
         F.posexplode("docs").alias("_i", "da"),
         F.slice(F.col("docs"), F.col("_i") + F.lit(2), F.size("docs")).alias("_tail"),
     )
-    id_type = df.schema[id_col].dataType
-    if isinstance(id_type, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+    if arrow_ids:
         # Arrow fast path for integral ids: shuffle the (da, tail-array)
         # rows hashed by da — every co-occurrence of da lands in one
         # partition as a PACKED int64 list (~55x fewer rows and roughly
@@ -351,6 +358,20 @@ def shingle_jaccard_pairs(
             da = np.concatenate(da_p).astype(np.int64, copy=False)
             lens = np.concatenate(len_p).astype(np.int64, copy=False)
             vals = np.concatenate(val_p).astype(np.int64, copy=False)
+            # per-doc capped-universe sizes, exact and partition-complete
+            # (every group containing a doc contributes one posexplode row,
+            # all hashed here) — emitted as id_b=NULL sentinel rows so the
+            # downstream sz_b join needs no separate sizes subtree. Always
+            # emitted, even when this partition produces no pairs: another
+            # partition's pairs may reference these docs as id_b.
+            ua, ucnt = np.unique(da, return_counts=True)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ua, pa.int64()),
+                 pa.array([None] * len(ua), pa.int64()),
+                 pa.array(np.zeros(len(ua), np.int64), pa.int64()),
+                 pa.array(ucnt.astype(np.int64), pa.int64())],
+                names=["id_a", "id_b", "inter", "sz_a"],
+            )
             da_exp = np.repeat(da, lens)
             keep = vals > da_exp  # value-compare: exact a.doc < b.doc parity
             da_exp, db = da_exp[keep], vals[keep]
@@ -368,7 +389,6 @@ def shingle_jaccard_pairs(
             # exact prune (conservative float margin: the final jaccard
             # filter downstream is the decider; this must only never drop
             # a pair that could pass it)
-            ua, ucnt = np.unique(da, return_counts=True)
             sza = ucnt[np.searchsorted(ua, pa_)]
             ok = inter >= thr * sza - 1e-9
             yield pa.RecordBatch.from_arrays(
@@ -377,34 +397,47 @@ def shingle_jaccard_pairs(
                 names=["id_a", "id_b", "inter", "sz_a"],
             )
 
-        # sz_a rides out of the kernel (it is the exact per-doc capped
-        # shingle count, already in hand for the prune) so only the id_b
-        # side needs the sizes join downstream.
-        pairs = (
+        # ONE kernel pass emits both the pruned pair counts (sz_a riding
+        # along — it is the exact per-doc capped shingle count, already in
+        # hand for the prune) and the per-doc sizes (id_b NULL sentinel
+        # rows). The output is narrow (4 longs) and has two consumers, so
+        # it is the intermediate worth caching; grp then has a single
+        # consumer and needs none.
+        cnt = _take_cache(
             ex.select("da", "_tail").repartition("da")
             .mapInArrow(_count_pairs, "id_a long, id_b long, inter long, sz_a long")
-            .select(
-                F.col("id_a").cast(id_type).alias("id_a"),
-                F.col("id_b").cast(id_type).alias("id_b"),
-                "inter", "sz_a",
+        )
+        sizes_b = cnt.filter(F.col("id_b").isNull()).select(
+            F.col("id_a").cast(id_type).alias("id_b"),
+            F.col("sz_a").alias("sz_b"),
+        )
+        pairs = cnt.filter(F.col("id_b").isNotNull()).select(
+            F.col("id_a").cast(id_type).alias("id_a"),
+            F.col("id_b").cast(id_type).alias("id_b"),
+            "inter", "sz_a",
+        )
+        out = (
+            pairs.join(sizes_b, "id_b")
+            .withColumn(
+                "jaccard",
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
             )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
         )
-    else:
-        # generic ids: expand in the JVM and hash-aggregate per pair
-        pairs = (
-            ex.select("da", F.explode("_tail").alias("db"))
-            # duplicate ids inside one group sort adjacently; value-compare
-            # (not position-compare) keeps exact parity with a.doc < b.doc
-            .filter(F.col("da") < F.col("db"))
-            .groupBy(F.col("da").alias("id_a"), F.col("db").alias("id_b"))
-            .agg(F.count("*").alias("inter"))
-        )
-    if "sz_a" not in pairs.columns:
-        pairs = pairs.join(
-            sizes.withColumnsRenamed({"doc": "id_a", "sz": "sz_a"}), "id_a"
-        )
+        return out
+    # generic ids: expand in the JVM and hash-aggregate per pair
+    pairs = (
+        ex.select("da", F.explode("_tail").alias("db"))
+        # duplicate ids inside one group sort adjacently; value-compare
+        # (not position-compare) keeps exact parity with a.doc < b.doc
+        .filter(F.col("da") < F.col("db"))
+        .groupBy(F.col("da").alias("id_a"), F.col("db").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
     out = (
-        pairs.join(sizes.withColumnsRenamed({"doc": "id_b", "sz": "sz_b"}), "id_b")
+        pairs.join(sizes.withColumnsRenamed({"doc": "id_a", "sz": "sz_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"doc": "id_b", "sz": "sz_b"}), "id_b")
         .withColumn(
             "jaccard",
             F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
