@@ -407,6 +407,16 @@ def shingle_jaccard_pairs(
             ex.select("da", "_tail").repartition("da")
             .mapInArrow(_count_pairs, "id_a long, id_b long, inter long, sz_a long")
         )
+        # Materialize the cache EAGERLY before handing it to two consumers.
+        # AQE submits the sizes build stage and the pair probe stage
+        # concurrently, and two scans of a not-yet-materialized cache
+        # STAMPEDE: each recomputes the entire kernel chain (scan, shingler,
+        # collect_list aggregate, repartition, pair kernel) side by side at
+        # half throughput — measured 2x wall on a 100M-pair corpus, and
+        # bimodal (the race is timing-dependent). One cheap count pins the
+        # cache; both consumers then read memory. The extra pass touches
+        # only the cached 4-long rows.
+        cnt.count()
         sizes_b = cnt.filter(F.col("id_b").isNull()).select(
             F.col("id_a").cast(id_type).alias("id_b"),
             F.col("sz_a").alias("sz_b"),
