@@ -695,6 +695,11 @@ def minhash_near_dups(
     shape where caching wins (wide deserialized text rows would cost ~10x
     the recompute)."""
     sigs = _take_cache(minhash_signatures(df, id_col, text_col, num_hashes, n, seed))
+    # Eagerly pin the cache: AQE submits the band stages and both
+    # agreement-join sides concurrently, and scans of a not-yet-
+    # materialized cache stampede — event logs showed FOUR concurrent
+    # copies of the signature kernel. persist() alone is not a barrier.
+    sigs.count()
     cands = lsh_candidate_pairs(sigs, id_col, bands, sig_len=num_hashes)
     a = sigs.withColumnsRenamed({id_col: "id_a", "sig": "sig_a"})
     b = sigs.withColumnsRenamed({id_col: "id_b", "sig": "sig_b"})
@@ -895,6 +900,9 @@ def simhash_near_dups(
     if not 0 <= max_hamming < bits:
         raise ValueError(f"max_hamming must be in [0, {bits}), got {max_hamming}")
     fps = _take_cache(simhash(df, id_col, text_col, bits))
+    # Eagerly pin (see minhash_near_dups): concurrent AQE stages over an
+    # unmaterialized cache each recompute the fingerprint kernel.
+    fps.count()
     nbands = max_hamming + 1
     w = bits // nbands
     # contiguous bands; the last band absorbs the remainder bits
