@@ -49,6 +49,20 @@ def test_shingle_jaccard(spark, docs):
     assert (0, 3) not in pairs
 
 
+def test_shingle_jaccard_packed_and_fallback_id_ranges(spark, docs):
+    """The pair-count kernel sorts a packed (da << 31) | db key when both
+    ids fit in [0, 2^31); ids outside that range take the lexsort
+    fallback. Both branches must produce identical pair sets: shift the
+    same corpus's ids past 2^31 (and negative) and compare."""
+    small = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             shingle_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.4).collect()}
+    for off in (1 << 31, -7):
+        shifted = docs.withColumn("doc_id", F.col("doc_id") + F.lit(off))
+        got = {(r["id_a"] - off, r["id_b"] - off): r["jaccard"] for r in
+               shingle_jaccard_pairs(shifted, "doc_id", "text", n=3, threshold=0.4).collect()}
+        assert got == small, f"offset {off}: {got} != {small}"
+
+
 def test_minhash_near_dups_finds_near_and_not_far(spark, docs):
     out = {(r["id_a"], r["id_b"]) for r in
            minhash_near_dups(docs, "doc_id", "text", num_hashes=16, bands=8, threshold=0.5).collect()}
